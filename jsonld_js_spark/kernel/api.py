@@ -1,0 +1,220 @@
+"""Single-document JSON-LD processor facade.
+
+The same public surface as jsonld.js's top-level API
+(/root/reference/lib/jsonld.js: expand :265, compact :131, flatten
+:358, frame :414, toRDF :679, fromRDF :625, canonize :564, merge
+:770). These functions run one document at a time; the Spark
+operators batch them over Arrow record batches.
+
+``options`` keys (subset):
+- base: base IRI
+- expandContext: context applied before document contexts
+- context_loader: dict url -> context document (driver-preloaded;
+  executors never fetch)
+- safe: bool — raise on warning-level events (canonize defaults True,
+  matching lib/jsonld.js:572)
+- produceGeneralizedRdf, rdfDirection, useRdfType, useNativeTypes
+- maxWorkFactor: canonicalization work bound (default 3)
+"""
+
+from __future__ import annotations
+
+import json
+
+from . import canon as _canon
+from . import compact as _compact
+from . import expand as _expand
+from . import flatten as _flatten
+from . import frame as _frame
+from . import fromrdf as _fromrdf
+from . import nquads as _nquads
+from . import tordf as _tordf
+from .context import initial_context, process_context
+from .nodemap import IdentifierIssuer, create_node_map, merge_node_map_graphs
+
+
+def _prepare(options: dict | None) -> dict:
+    options = dict(options or {})
+    options.setdefault("processingMode", "json-ld-1.1")
+    options.setdefault("events", [])
+    return options
+
+
+def _parse_input(doc):
+    if isinstance(doc, str):
+        return json.loads(doc)
+    return doc
+
+
+def expand(doc, options: dict | None = None) -> list:
+    """Expand a document to its expanded form (array of node objects)."""
+    options = _prepare(options)
+    doc = _parse_input(doc)
+    active_ctx = initial_context(options)
+    if options.get("expandContext") is not None:
+        active_ctx = process_context(active_ctx, options["expandContext"], options)
+    expanded = _expand.expand(active_ctx, doc, options)
+    # @graph-only unwrap + array normalize (lib/jsonld.js:330-342)
+    if isinstance(expanded, dict) and "@graph" in expanded and len(expanded) == 1:
+        expanded = expanded["@graph"]
+    if expanded is None:
+        return []
+    return expanded if isinstance(expanded, list) else [expanded]
+
+
+def compact(doc, ctx, options: dict | None = None):
+    """Compact a document under ``ctx``."""
+    options = _prepare(options)
+    options.setdefault("compactArrays", True)
+    expanded = doc if options.pop("skipExpansion", False) else expand(doc, options)
+    active_ctx = initial_context(options)
+    active_ctx = process_context(active_ctx, ctx, options)
+    compacted = _compact.compact(active_ctx, expanded, options)
+    if isinstance(compacted, list):
+        if len(compacted) == 1 and options.get("compactArrays", True):
+            compacted = compacted[0]
+        else:
+            graph_alias = _compact.compact_iri(active_ctx, "@graph", vocab=True)
+            compacted = {graph_alias: compacted}
+    # attach context
+    if compacted and ctx:
+        ctx_value = ctx.get("@context", ctx) if isinstance(ctx, dict) else ctx
+        if ctx_value:
+            compacted = {"@context": ctx_value, **compacted}
+    return compacted
+
+
+def flatten(doc, ctx=None, options: dict | None = None):
+    """Flatten a document; optionally compact the result under ``ctx``."""
+    options = _prepare(options)
+    expanded = expand(doc, options)
+    flattened = _flatten.flatten(expanded)
+    if ctx is None:
+        return flattened
+    return compact(flattened, ctx, {**options, "skipExpansion": True})
+
+
+def frame(doc, frame_doc, options: dict | None = None):
+    """Frame a document (match + embed + defaults), then compact under
+    the frame's context."""
+    options = _prepare(options)
+    options.setdefault("embed", "@once")
+    frame_doc = _parse_input(frame_doc)
+    frame_ctx = frame_doc.get("@context", {}) if isinstance(frame_doc, dict) else {}
+    expanded = expand(doc, options)
+    expanded_frame = expand(frame_doc, {**options, "frameExpansion": True,
+                                        "keepFreeFloatingNodes": True})
+    framed = _frame.frame(expanded, expanded_frame, options)
+    compacted = compact(framed, frame_ctx,
+                        {**options, "skipExpansion": True, "framing": True})
+    compacted = _frame.cleanup_preserve(compacted)
+    compacted = _frame.cleanup_null(compacted)
+    if isinstance(compacted, dict) and "@context" not in compacted and frame_ctx:
+        compacted = {"@context": frame_ctx, **compacted}
+    return compacted
+
+
+def to_rdf(doc, options: dict | None = None):
+    """Document -> RDF dataset (list of quads); format='application/n-quads'
+    returns the serialized string."""
+    options = _prepare(options)
+    expanded = doc if options.pop("skipExpansion", False) else expand(doc, options)
+    issuer = options.get("issuer") or IdentifierIssuer("_:b")
+    dataset = _tordf.to_rdf(expanded, {**options, "issuer": issuer})
+    if options.get("format") == "application/n-quads":
+        return _nquads.serialize(dataset)
+    return dataset
+
+
+def from_rdf(dataset, options: dict | None = None) -> list:
+    """RDF dataset (quads list or N-Quads string) -> expanded JSON-LD."""
+    options = _prepare(options)
+    if isinstance(dataset, str):
+        dataset = _nquads.parse(dataset)
+    return _fromrdf.from_rdf(
+        dataset,
+        use_rdf_type=options.get("useRdfType", False),
+        use_native_types=options.get("useNativeTypes", False),
+        rdf_direction=options.get("rdfDirection"),
+    )
+
+
+def canonize(doc, options: dict | None = None) -> str:
+    """Document (or dataset) -> canonical N-Quads (RDFC-1.0).
+
+    safe defaults to True here, matching lib/jsonld.js:572.
+    """
+    options = _prepare(options)
+    options.setdefault("safe", True)
+    if options.get("inputFormat") == "application/n-quads":
+        dataset = _nquads.parse(doc)
+    elif isinstance(doc, list) and doc and isinstance(doc[0], dict) \
+            and "subject" in doc[0]:
+        dataset = doc
+    else:
+        dataset = to_rdf(doc, {**options, "format": None})
+    return _canon.canonize(dataset, max_work_factor=options.get("maxWorkFactor", 3))
+
+
+def merge(docs: list, ctx=None, options: dict | None = None):
+    """Merge multiple documents (flatten with per-document bnode
+    relabeling `_:b{i}-`; parity lib/jsonld.js:770-857)."""
+    options = _prepare(options)
+    graphs = {"@default": {}}
+    for i, doc in enumerate(docs):
+        expanded = expand(doc, options)
+        issuer = IdentifierIssuer(f"_:b{i}-")
+        g = create_node_map(expanded, issuer=issuer)
+        for name in g:
+            graphs.setdefault(name, {})
+            for sid, node in g[name].items():
+                target = graphs[name].setdefault(sid, {"@id": sid})
+                for prop in sorted(node.keys()):
+                    if prop == "@id":
+                        continue
+                    if prop.startswith("@") and prop != "@type":
+                        target[prop] = node[prop]
+                    else:
+                        from .nodemap import _add_value
+                        _add_value(target, prop, node[prop],
+                                   property_is_array=True, allow_duplicate=False)
+    merged = merge_node_map_graphs(graphs)
+    flattened = [merged[s] for s in sorted(merged.keys())
+                 if not (len(merged[s]) == 1 and "@id" in merged[s])]
+    if ctx is None:
+        return flattened
+    return compact(flattened, ctx, {**options, "skipExpansion": True})
+
+
+class JsonLdProcessor:
+    """Object-style facade mirroring jsonld.js's JsonLdProcessor."""
+
+    def __init__(self, options: dict | None = None):
+        self.options = dict(options or {})
+
+    def _opts(self, options):
+        return {**self.options, **(options or {})}
+
+    def expand(self, doc, options=None):
+        return expand(doc, self._opts(options))
+
+    def compact(self, doc, ctx, options=None):
+        return compact(doc, ctx, self._opts(options))
+
+    def flatten(self, doc, ctx=None, options=None):
+        return flatten(doc, ctx, self._opts(options))
+
+    def frame(self, doc, frame_doc, options=None):
+        return frame(doc, frame_doc, self._opts(options))
+
+    def to_rdf(self, doc, options=None):
+        return to_rdf(doc, self._opts(options))
+
+    def from_rdf(self, dataset, options=None):
+        return from_rdf(dataset, self._opts(options))
+
+    def canonize(self, doc, options=None):
+        return canonize(doc, self._opts(options))
+
+    def merge(self, docs, ctx=None, options=None):
+        return merge(docs, ctx, self._opts(options))

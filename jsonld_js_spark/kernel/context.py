@@ -1,0 +1,465 @@
+"""Active-context processing: the engine's schema-resolution layer.
+
+Implements the JSON-LD 1.1 Context Processing / Create Term Definition /
+IRI Expansion algorithms (W3C JSON-LD 1.1 API §4.1, §4.2, §5.1).
+Parity target: /root/reference/lib/context.js:51-1197 (see SURVEY §2.2).
+
+Spark usage: contexts are resolved and processed ONCE on the driver
+(remote URLs pre-fetched into a plain dict — no executor I/O), the
+resulting active-context dicts are broadcast, and executors only do
+dictionary lookups (`expand_iri`) inside Arrow batches.
+"""
+
+from __future__ import annotations
+
+import copy
+
+from .constants import KEYWORDS, is_keyword, looks_like_keyword
+from .errors import JsonLdError, syntax_error
+from .iri import is_absolute_iri, prepend_base
+
+_CONTAINER_VALUES = frozenset({"@list", "@set", "@index", "@id", "@type", "@language", "@graph"})
+
+
+def initial_context(options: dict | None = None) -> dict:
+    options = options or {}
+    return {
+        "mappings": {},
+        "@base": options.get("base"),
+        "original_base": options.get("base"),
+        "@vocab": None,
+        "@language": None,
+        "@direction": None,
+        "processingMode": options.get("processingMode", "json-ld-1.1"),
+        "previousContext": None,
+        "_protected": set(),
+    }
+
+
+def _clone_ctx(ctx: dict) -> dict:
+    out = dict(ctx)
+    out["mappings"] = dict(ctx["mappings"])
+    out["_protected"] = set(ctx.get("_protected", ()))
+    return out
+
+
+def _resolve_context_url(url: str, options: dict) -> object:
+    """Look the context URL up in the driver-preloaded dict.
+
+    The reference fetches over HTTP with an LRU cache
+    (lib/ContextResolver.js); distributed executors must never do I/O,
+    so we require a preloaded ``options['context_loader']`` mapping
+    url -> parsed remote document (or -> {'@context': ...}).
+    """
+    loader = options.get("context_loader") or {}
+    if url not in loader:
+        raise JsonLdError(
+            f"Dereferencing a URL did not result in a valid JSON-LD context: {url}",
+            "jsonld.InvalidUrl",
+            code="loading remote context failed",
+        )
+    doc = loader[url]
+    if isinstance(doc, dict) and "@context" in doc:
+        return doc["@context"]
+    return doc
+
+
+def process_context(active_ctx: dict, local_ctx, options: dict | None = None, *,
+                    override_protected: bool = False, propagate: bool = True,
+                    validate_scoped: bool = True, _remote_cycle: frozenset = frozenset()) -> dict:
+    """Fold ``local_ctx`` into ``active_ctx``; returns a NEW context."""
+    options = options or {}
+    if local_ctx is None:
+        local_ctx = [None]
+    if isinstance(local_ctx, dict) and "@context" in local_ctx:
+        local_ctx = local_ctx["@context"]
+    ctxs = local_ctx if isinstance(local_ctx, list) else [local_ctx]
+
+    rval = active_ctx
+    for ctx in ctxs:
+        if ctx is None:
+            # null → reset to initial (keep original base); non-propagating
+            # contexts stash the previous context for revert.
+            if not override_protected and rval.get("_protected"):
+                raise syntax_error(
+                    "Tried to nullify a context with protected terms outside of a term definition.",
+                    "invalid context nullification")
+            prev = rval
+            rval = initial_context(options)
+            rval["@base"] = prev.get("original_base")
+            rval["original_base"] = prev.get("original_base")
+            if not propagate:
+                rval["previousContext"] = prev
+            continue
+
+        if isinstance(ctx, str):
+            if ctx in _remote_cycle:
+                raise syntax_error(f"Cyclical @context URLs detected: {ctx}", "recursive context inclusion")
+            url = prepend_base(rval.get("@base"), ctx)
+            resolved = _resolve_context_url(url, options)
+            rval = process_context(
+                rval, resolved, options,
+                override_protected=override_protected, propagate=propagate,
+                validate_scoped=validate_scoped,
+                _remote_cycle=_remote_cycle | {ctx, url})
+            continue
+
+        if not isinstance(ctx, dict):
+            raise syntax_error("@context must be an object.", "invalid local context")
+
+        rval = _clone_ctx(rval)
+
+        if "@version" in ctx:
+            v = ctx["@version"]
+            if v != 1.1:
+                raise syntax_error(f"Unsupported JSON-LD version: {v}", "invalid @version value")
+            if options.get("processingMode") == "json-ld-1.0":
+                raise JsonLdError("@version not compatible with json-ld-1.0",
+                                  "jsonld.UnsupportedVersion", code="processing mode conflict")
+            rval["processingMode"] = "json-ld-1.1"
+
+        if "@import" in ctx:
+            imp = ctx["@import"]
+            if not isinstance(imp, str):
+                raise syntax_error("@import must be a string.", "invalid @import value")
+            imported = _resolve_context_url(prepend_base(rval.get("@base"), imp), options)
+            if not isinstance(imported, dict):
+                raise syntax_error("@import must reference a context object.", "invalid remote context")
+            if "@import" in imported:
+                raise syntax_error("imported context must not include @import.", "invalid context entry")
+            merged = dict(imported)
+            merged.update({k: v for k, v in ctx.items() if k != "@import"})
+            ctx = merged
+
+        if "@propagate" in ctx:
+            p = ctx["@propagate"]
+            if not isinstance(p, bool):
+                raise syntax_error("@propagate must be boolean.", "invalid @propagate value")
+            propagate = p
+        if not propagate and rval.get("previousContext") is None:
+            rval["previousContext"] = active_ctx
+
+        if "@base" in ctx:
+            base = ctx["@base"]
+            if base is None:
+                rval["@base"] = None
+            elif not isinstance(base, str):
+                raise syntax_error("@base must be a string or null.", "invalid base IRI")
+            elif is_absolute_iri(base):
+                rval["@base"] = base
+            else:
+                rval["@base"] = prepend_base(rval.get("@base"), base)
+
+        if "@vocab" in ctx:
+            vocab = ctx["@vocab"]
+            if vocab is None:
+                rval["@vocab"] = None
+            elif not isinstance(vocab, str):
+                raise syntax_error("@vocab must be a string or null.", "invalid vocab mapping")
+            else:
+                # may be relative: resolve against @vocab then @base (1.1)
+                rval["@vocab"] = expand_iri(rval, vocab, vocab=True, base=True)
+
+        if "@language" in ctx:
+            lang = ctx["@language"]
+            if lang is None:
+                rval["@language"] = None
+            elif not isinstance(lang, str):
+                raise syntax_error("@language must be a string or null.", "invalid default language")
+            else:
+                rval["@language"] = lang.lower()
+
+        if "@direction" in ctx:
+            d = ctx["@direction"]
+            if d is not None and d not in ("ltr", "rtl"):
+                raise syntax_error('@direction must be "ltr", "rtl", or null.', "invalid base direction")
+            rval["@direction"] = d
+
+        defined: dict = {}
+        for key in ctx:
+            if key in ("@base", "@vocab", "@language", "@direction",
+                       "@version", "@import", "@propagate", "@protected"):
+                continue
+            create_term_definition(
+                rval, ctx, key, defined, options,
+                override_protected=override_protected,
+                validate_scoped=validate_scoped)
+    return rval
+
+
+def create_term_definition(active_ctx: dict, local_ctx: dict, term: str, defined: dict,
+                           options: dict | None = None, *, override_protected: bool = False,
+                           validate_scoped: bool = True) -> None:
+    """W3C Create Term Definition; parity lib/context.js:465-994."""
+    options = options or {}
+    if term in defined:
+        if defined[term]:
+            return
+        raise syntax_error(f"Cyclical context definition detected: {term}", "cyclic IRI mapping")
+    defined[term] = False
+
+    value = local_ctx.get(term)
+
+    if term == "@type":
+        # 1.1 allows redefining @type with @container:@set / @protected
+        if not isinstance(value, dict):
+            raise syntax_error("Keywords cannot be overridden.", "keyword redefinition")
+        for k, v in value.items():
+            if k == "@container" and v != "@set":
+                raise syntax_error("Keywords cannot be overridden.", "keyword redefinition")
+            if k not in ("@container", "@protected"):
+                raise syntax_error("Keywords cannot be overridden.", "keyword redefinition")
+    elif is_keyword(term):
+        raise syntax_error(f"Keywords cannot be overridden: {term}", "keyword redefinition")
+    elif looks_like_keyword(term):
+        # reserved shape: term is ignored with a warning (1.1)
+        defined[term] = True
+        return
+    if term == "":
+        raise syntax_error("A term cannot be an empty string.", "invalid term definition")
+
+    previous = active_ctx["mappings"].get(term)
+
+    simple_term = False
+    if isinstance(value, str) or value is None:
+        value = {"@id": value}
+        simple_term = isinstance(local_ctx.get(term), str)
+    elif not isinstance(value, dict):
+        raise syntax_error("Term definition must be null, a string, or an object.",
+                           "invalid term definition")
+
+    mapping: dict = {"reverse": False, "protected": False}
+    active_ctx["mappings"][term] = mapping
+
+    protected = value.get("@protected", local_ctx.get("@protected", False))
+    if protected:
+        mapping["protected"] = True
+        active_ctx["_protected"].add(term)
+
+    if "@reverse" in value:
+        if "@id" in value:
+            raise syntax_error("@reverse term must not contain @id.", "invalid reverse property")
+        if "@nest" in value:
+            raise syntax_error("@reverse term must not contain @nest.", "invalid reverse property")
+        rev = value["@reverse"]
+        if not isinstance(rev, str):
+            raise syntax_error("@reverse value must be a string.", "invalid IRI mapping")
+        if looks_like_keyword(rev):
+            del active_ctx["mappings"][term]
+            defined[term] = True
+            return
+        iri = expand_iri(active_ctx, rev, vocab=True, local_ctx=local_ctx, defined=defined, options=options)
+        if not is_absolute_iri(iri) and not iri.startswith("_:"):
+            raise syntax_error("@reverse value must expand to an IRI or blank node.", "invalid IRI mapping")
+        mapping["@id"] = iri
+        mapping["reverse"] = True
+        cont = value.get("@container")
+        if cont in ("@index", "@set", None):
+            if cont is not None:
+                mapping["@container"] = [cont]
+        else:
+            raise syntax_error("@reverse @container must be @index or @set.", "invalid reverse property")
+    elif "@id" in value:
+        vid = value["@id"]
+        if vid is None:
+            mapping["@id"] = None  # explicit decoupling from @vocab
+        elif not isinstance(vid, str):
+            raise syntax_error("@id value must be a string.", "invalid IRI mapping")
+        elif vid != term:
+            if not is_keyword(vid) and looks_like_keyword(vid):
+                del active_ctx["mappings"][term]
+                defined[term] = True
+                return
+            iri = expand_iri(active_ctx, vid, vocab=True, local_ctx=local_ctx, defined=defined, options=options)
+            if not (is_keyword(iri) or is_absolute_iri(iri) or iri.startswith("_:")):
+                raise syntax_error(f"@id must expand to an IRI/keyword/bnode: {iri}", "invalid IRI mapping")
+            if iri == "@context":
+                raise syntax_error("@id cannot equal @context.", "invalid keyword alias")
+            mapping["@id"] = iri
+            mapping["_prefix"] = bool(
+                simple_term and ("@prefix" not in value) and
+                (iri[-1] in ":/?#[]@" or iri.startswith("_:")))
+
+    if "@id" not in mapping:
+        colon = term.find(":", 1)
+        if colon > 0:
+            prefix = term[:colon]
+            if prefix in local_ctx:
+                create_term_definition(active_ctx, local_ctx, prefix, defined, options)
+            pdef = active_ctx["mappings"].get(prefix)
+            if pdef and pdef.get("@id"):
+                mapping["@id"] = pdef["@id"] + term[colon + 1:]
+            else:
+                mapping["@id"] = term  # term is itself an absolute IRI / bnode
+        elif term.startswith("//") or "/" in term:
+            # relative-IRI-ish terms keep themselves? match reference: use vocab
+            if active_ctx.get("@vocab") is not None:
+                mapping["@id"] = active_ctx["@vocab"] + term
+            else:
+                raise syntax_error(f"Relative term with no @vocab: {term}", "invalid IRI mapping")
+        elif term == "@type":
+            mapping["@id"] = "@type"
+        else:
+            if active_ctx.get("@vocab") is None:
+                raise syntax_error(
+                    f"Term has no @id and no @vocab in scope: {term}", "invalid IRI mapping")
+            mapping["@id"] = active_ctx["@vocab"] + term
+
+    if "@type" in value:
+        t = value["@type"]
+        if not isinstance(t, str):
+            raise syntax_error("@type value must be a string.", "invalid type mapping")
+        if t in ("@json", "@none"):
+            pass
+        elif t not in ("@id", "@vocab"):
+            t = expand_iri(active_ctx, t, vocab=True, local_ctx=local_ctx, defined=defined, options=options)
+            if not is_absolute_iri(t):
+                raise syntax_error("@type must expand to an absolute IRI.", "invalid type mapping")
+            if t.startswith("_:"):
+                raise syntax_error("@type must not be a blank node.", "invalid type mapping")
+        mapping["@type"] = t
+
+    if "@container" in value:
+        cont = value["@container"]
+        conts = cont if isinstance(cont, list) else [cont]
+        if not conts or not all(c in _CONTAINER_VALUES for c in conts):
+            raise syntax_error(f"Invalid @container: {cont}", "invalid container mapping")
+        cset = set(conts)
+        if "@list" in cset and len(cset) > 1:
+            raise syntax_error("@list container cannot combine.", "invalid container mapping")
+        if "@graph" in cset and cset - {"@graph", "@id", "@index", "@set"}:
+            raise syntax_error("@graph container combination invalid.", "invalid container mapping")
+        if mapping["reverse"] and cset - {"@index", "@set"}:
+            raise syntax_error("reverse @container must be @index/@set.", "invalid reverse property")
+        mapping["@container"] = sorted(cset)
+
+    if "@index" in value:
+        conts = mapping.get("@container", [])
+        if "@index" not in conts:
+            raise syntax_error("@index requires @container:@index.", "invalid term definition")
+        idx = value["@index"]
+        if not isinstance(idx, str) or idx.startswith("@"):
+            raise syntax_error("@index must be a non-keyword string.", "invalid term definition")
+        mapping["@index"] = idx
+
+    if "@context" in value:
+        # scoped context: stored raw, processed lazily at use sites
+        mapping["@context"] = value["@context"]
+        if validate_scoped:
+            # validate it processes cleanly against the current context
+            process_context(active_ctx, value["@context"], options,
+                            override_protected=True, validate_scoped=False)
+
+    if "@language" in value and "@type" not in value:
+        lang = value["@language"]
+        if lang is not None and not isinstance(lang, str):
+            raise syntax_error("@language must be string or null.", "invalid language mapping")
+        mapping["@language"] = lang.lower() if isinstance(lang, str) else None
+        mapping["_has_language"] = True
+
+    if "@direction" in value and "@type" not in value:
+        d = value["@direction"]
+        if d is not None and d not in ("ltr", "rtl"):
+            raise syntax_error("@direction must be ltr/rtl/null.", "invalid base direction")
+        mapping["@direction"] = d
+        mapping["_has_direction"] = True
+
+    if "@prefix" in value:
+        if ":" in term or "/" in term:
+            raise syntax_error("@prefix used on compact/relative IRI term.", "invalid term definition")
+        p = value["@prefix"]
+        if not isinstance(p, bool):
+            raise syntax_error("@prefix must be boolean.", "invalid @prefix value")
+        if is_keyword(mapping.get("@id")):
+            raise syntax_error("Keyword terms cannot be prefixes.", "invalid term definition")
+        mapping["_prefix"] = p
+
+    if "@nest" in value:
+        n = value["@nest"]
+        if not isinstance(n, str) or (n != "@nest" and n.startswith("@")):
+            raise syntax_error("@nest must be '@nest' or a non-keyword string.",
+                               "invalid @nest value")
+        mapping["@nest"] = n
+
+    # unrecognized members are errors
+    allowed = {"@id", "@reverse", "@type", "@container", "@context", "@language",
+               "@direction", "@index", "@nest", "@prefix", "@protected"}
+    extra = set(value) - allowed
+    if extra:
+        raise syntax_error(f"Invalid term definition members: {sorted(extra)}",
+                           "invalid term definition")
+
+    # protected-term redefinition check (lib/context.js:981-993)
+    if previous and previous.get("protected") and not override_protected:
+        check_prev = {k: v for k, v in previous.items() if k != "protected"}
+        check_new = {k: v for k, v in mapping.items() if k != "protected"}
+        check_new["protected"] = check_prev["protected"] = True
+        prev_cmp = dict(previous)
+        new_cmp = dict(mapping)
+        new_cmp["protected"] = prev_cmp["protected"] = True
+        if prev_cmp != new_cmp:
+            raise JsonLdError(
+                f"Invalid JSON-LD syntax; tried to redefine a protected term: {term}",
+                "jsonld.SyntaxError", code="protected term redefinition")
+        active_ctx["mappings"][term] = previous
+    defined[term] = True
+
+
+def expand_iri(active_ctx: dict, value, *, base: bool = False, vocab: bool = False,
+               local_ctx: dict | None = None, defined: dict | None = None,
+               options: dict | None = None):
+    """Expand ``value`` to an absolute IRI / keyword / blank-node label.
+
+    Parity: lib/context.js:1010-1197. This is the hot path of
+    expansion; per Arrow batch it is a dict lookup + string ops.
+    """
+    if value is None or is_keyword(value) or not isinstance(value, str):
+        return value
+    if looks_like_keyword(value):
+        return None  # reserved keyword-shaped values are dropped
+
+    # define dependency first if we're mid-context-processing
+    if local_ctx is not None and value in local_ctx and defined is not None and not defined.get(value):
+        create_term_definition(active_ctx, local_ctx, value, defined, options or {})
+
+    if vocab:
+        m = active_ctx["mappings"].get(value)
+        if m is not None:
+            return m.get("@id")
+
+    colon = value.find(":", 1)
+    if colon > 0:
+        prefix, suffix = value[:colon], value[colon + 1:]
+        # bnode or suffix starting with // → already absolute-ish
+        if prefix == "_" or suffix.startswith("//"):
+            return value
+        if local_ctx is not None and prefix in local_ctx and defined is not None and not defined.get(prefix):
+            create_term_definition(active_ctx, local_ctx, prefix, defined, options or {})
+        pdef = active_ctx["mappings"].get(prefix)
+        if pdef and pdef.get("@id") and pdef.get("_prefix"):
+            return pdef["@id"] + suffix
+        if is_absolute_iri(value):
+            return value
+        # compact-IRI-shaped but unmapped prefix: leave as-is
+        return value
+
+    if vocab and active_ctx.get("@vocab") is not None:
+        return active_ctx["@vocab"] + value
+    if base:
+        return prepend_base(active_ctx.get("@base"), value)
+    return value
+
+
+def selected_term_ctx(active_ctx: dict, term: str):
+    """Raw scoped @context for a term, or None."""
+    m = active_ctx["mappings"].get(term)
+    return m.get("@context") if m else None
+
+
+def revert_to_previous(active_ctx: dict) -> dict:
+    """Non-propagating context revert (lib/expand.js:173-199)."""
+    return active_ctx.get("previousContext") or active_ctx
+
+
+def clone_active_context(active_ctx: dict) -> dict:
+    return copy.deepcopy(active_ctx)

@@ -1,0 +1,537 @@
+"""JSON-LD 1.1 Expansion.
+
+W3C JSON-LD 1.1 API §5.1 (Expansion Algorithm) + §5.2 (Value
+Expansion). Parity target: /root/reference/lib/expand.js (see SURVEY
+§2.3 for the sub-operator map).
+
+Runs per-document: a document is one transcript turn's JSON payload,
+so recursion depth/size is bounded by document size and the whole
+function runs inside an Arrow UDF batch with no Spark interaction.
+
+Warning events (free-floating nodes dropped, null @value, invalid
+language tags...) are appended to ``options['events']`` — the Spark
+pipeline surfaces them as a `warnings` array column (SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .constants import is_keyword, looks_like_keyword
+from .context import expand_iri, process_context, revert_to_previous
+from .errors import JsonLdError, syntax_error
+from .iri import is_absolute_iri
+from .types import is_graph, is_list, is_scalar, is_subject, is_subject_reference, is_value
+
+# BCP47 well-formedness (parity: lib/util.js:13)
+_LANG_RE = re.compile(
+    r"^[a-zA-Z]{1,8}(-[a-zA-Z]{3}){0,3}?(-[a-zA-Z]{4})?(-[a-zA-Z]{2}|-[0-9]{3})?"
+    r"(-[a-zA-Z0-9]{5,8}|-[0-9][a-zA-Z0-9]{3})*(-[0-9a-wy-zA-WY-Z](-[a-zA-Z0-9]{2,8})+)*"
+    r"(-x(-[a-zA-Z0-9]{1,8})+)?$"
+)
+
+
+def _warn(options: dict, code: str, message: str, **details):
+    events = options.setdefault("events", [])
+    events.append({"code": code, "level": "warning", "message": message, "details": details})
+    if options.get("safe"):
+        raise JsonLdError(message, "jsonld.SafeModeError", code=code, details=details)
+
+
+def _add_value(obj: dict, key: str, value, *, as_array: bool = True, allow_duplicate: bool = True):
+    """Append semantics used throughout expansion (lib/util.js:246-298)."""
+    if isinstance(value, list):
+        if key not in obj and as_array:
+            obj[key] = []
+        for v in value:
+            _add_value(obj, key, v, as_array=as_array, allow_duplicate=allow_duplicate)
+        return
+    if key in obj:
+        existing = obj[key]
+        if not isinstance(existing, list):
+            existing = obj[key] = [existing]
+        if allow_duplicate or value not in existing:
+            existing.append(value)
+    else:
+        obj[key] = [value] if as_array else value
+
+
+def expand(active_ctx: dict, element, options: dict, *,
+           active_property: str | None = None, inside_list: bool = False,
+           type_scoped_context: dict | None = None) -> object:
+    """Expansion Algorithm. Returns expanded element (possibly None)."""
+    if element is None:
+        return None
+
+    if active_property == "@default":
+        options = {**options, "frameExpansion": False}
+
+    prop_mapping = active_ctx["mappings"].get(active_property) if active_property else None
+
+    # --- scalars -> value expansion
+    if is_scalar(element):
+        if active_property is None or active_property == "@graph":
+            _warn(options, "free-floating scalar", "Dropping free-floating scalar not in object.")
+            return None
+        return _expand_value(active_ctx, active_property, element, options)
+
+    # --- arrays
+    if isinstance(element, list):
+        container = (prop_mapping or {}).get("@container", [])
+        inside_list = inside_list or "@list" in container
+        rval = []
+        for item in element:
+            e = expand(active_ctx, item, options, active_property=active_property,
+                       inside_list=False, type_scoped_context=type_scoped_context)
+            if inside_list and isinstance(e, list):
+                e = {"@list": e}
+            if e is None:
+                continue
+            if isinstance(e, list):
+                rval.extend(e)
+            else:
+                rval.append(e)
+        return rval
+
+    # --- objects
+    if not isinstance(element, dict):  # pragma: no cover
+        raise syntax_error("Unexpected element type.", "invalid input")
+
+    # revert non-propagated context unless starting a new node via @value/
+    # subject reference (lib/expand.js:165-199)
+    keys0 = list(element.keys())
+    expanded_keys = {
+        k: expand_iri(active_ctx, k, vocab=True) for k in keys0 if k != "@context"
+    }
+    must_revert = "@context" not in element
+    if must_revert and active_ctx.get("previousContext") and not any(
+            v in ("@value", "@id") and len(keys0) == 1 for v in expanded_keys.values()):
+        active_ctx = revert_to_previous(active_ctx)
+
+    # local context
+    if "@context" in element:
+        active_ctx = process_context(active_ctx, element["@context"], options)
+
+    # find @type keys (ordered) and apply type-scoped contexts
+    type_key = None
+    type_vals: list[str] = []
+    for k in sorted(element.keys()):
+        if expand_iri(active_ctx, k, vocab=True) == "@type":
+            if type_key is None:
+                type_key = k
+            tv = element[k]
+            tvs = tv if isinstance(tv, list) else [tv]
+            type_vals.extend(t for t in tvs if isinstance(t, str))
+    type_scoped_ctx = type_scoped_context or active_ctx
+    for t in sorted(type_vals):
+        m = type_scoped_ctx["mappings"].get(t)
+        if m and m.get("@context") is not None:
+            active_ctx = process_context(active_ctx, m["@context"], options, propagate=False)
+
+    rval: dict = {}
+    nests: list[str] = []
+    _expand_object(active_ctx, active_property, element, rval, options,
+                   inside_list=inside_list, type_key=type_key,
+                   type_scoped_ctx=type_scoped_ctx, nests=nests)
+
+    # --- post-processing (spec §5.1 steps 14+)
+    if "@value" in rval:
+        keys = set(rval)
+        bad = keys - {"@value", "@type", "@language", "@direction", "@index"}
+        if bad or ("@language" in keys and "@type" in keys):
+            raise syntax_error("@value object has disallowed members.", "invalid value object")
+        if rval.get("@type") == "@json":
+            pass  # any JSON value allowed
+        elif rval["@value"] is None:
+            _warn(options, "null @value value", "Dropping null @value object.")
+            return None
+        elif not isinstance(rval["@value"], str) and "@language" in keys:
+            raise syntax_error("@language used on non-string @value.", "invalid language-tagged value")
+        elif "@type" in keys and (not is_absolute_iri(rval["@type"]) or rval["@type"].startswith("_:")):
+            raise syntax_error("@type of a value object must be an IRI.", "invalid typed value")
+    elif "@type" in rval and not isinstance(rval["@type"], list):
+        rval["@type"] = [rval["@type"]]
+    elif "@set" in rval or "@list" in rval:
+        keys = set(rval) - {"@index"}
+        if len(keys) > 1:
+            raise syntax_error("@set/@list object has disallowed members.", "invalid set or list object")
+        if "@set" in rval:
+            rval = rval["@set"]
+            if not isinstance(rval, (list, dict)) and rval is not None:
+                return rval
+    elif isinstance(rval, dict) and len(rval) == 1 and "@language" in rval:
+        _warn(options, "free-floating scalar", "Dropping object with only @language.")
+        return None
+
+    # drop free-floating unsafe objects
+    if isinstance(rval, dict):
+        count = len(rval)
+        if active_property is None or active_property == "@graph":
+            if count == 0 or "@value" in rval or "@list" in rval:
+                if count:
+                    _warn(options, "free-floating scalar",
+                          "Dropping free-floating value/list object.")
+                return None
+            if count == 1 and "@id" in rval and not options.get("frameExpansion"):
+                _warn(options, "free-floating reference",
+                      "Dropping free-floating subject reference.")
+                return None
+    return rval
+
+
+def _expand_object(active_ctx, active_property, element, rval, options, *,
+                   inside_list, type_key, type_scoped_ctx, nests):
+    """Expand each key/value member of ``element`` into ``rval``."""
+    input_type = None
+    if type_key is not None:
+        tv = element[type_key]
+        tv0 = tv[-1] if isinstance(tv, list) and tv else tv
+        if isinstance(tv0, str):
+            input_type = expand_iri(active_ctx, tv0, vocab=True)
+
+    for key in sorted(element.keys()):
+        if key == "@context":
+            continue
+        value = element[key]
+        expanded_property = expand_iri(active_ctx, key, vocab=True)
+
+        if expanded_property is None or not (
+                isinstance(expanded_property, str) and
+                (":" in expanded_property or is_keyword(expanded_property))):
+            _warn(options, "invalid property",
+                  f"Dropping property that did not expand to an IRI/keyword: {key}",
+                  property=key)
+            continue
+
+        if is_keyword(expanded_property):
+            if active_property == "@reverse":
+                raise syntax_error("@reverse map contains a keyword.", "invalid reverse property map")
+            if expanded_property in rval and expanded_property not in ("@included", "@type"):
+                raise syntax_error(f"Colliding keywords: {expanded_property}", "colliding keywords")
+
+            if expanded_property == "@id":
+                if isinstance(value, str):
+                    _add_value(rval, "@id",
+                               expand_iri(active_ctx, value, base=True),
+                               as_array=False)
+                elif options.get("frameExpansion") and (
+                        isinstance(value, dict) and not value or isinstance(value, list)):
+                    rval["@id"] = value if isinstance(value, list) else []
+                else:
+                    raise syntax_error("@id value must be a string.", "invalid @id value")
+                continue
+            if expanded_property == "@type":
+                _expand_type(active_ctx, type_scoped_ctx, value, rval, options)
+                continue
+            if expanded_property == "@graph":
+                if not isinstance(value, (dict, list)):
+                    raise syntax_error("@graph must be an object or array.", "invalid @graph value")
+                e = expand(active_ctx, value, options, active_property="@graph")
+                _add_value(rval, "@graph", e if isinstance(e, list) else [e])
+                continue
+            if expanded_property == "@included":
+                e = expand(active_ctx, value, options, active_property=None)
+                es = e if isinstance(e, list) else [e]
+                if not all(is_subject(x) or is_subject_reference(x) for x in es):
+                    raise syntax_error("@included values must be node objects.", "invalid @included value")
+                _add_value(rval, "@included", es)
+                continue
+            if expanded_property == "@value":
+                if input_type == "@json":
+                    rval["@value"] = value
+                elif not (is_scalar(value) or value is None) and not options.get("frameExpansion"):
+                    raise syntax_error("@value must be a scalar or null.", "invalid value object value")
+                else:
+                    rval["@value"] = value
+                continue
+            if expanded_property == "@language":
+                if not isinstance(value, str):
+                    if options.get("frameExpansion") and isinstance(value, (list, dict)):
+                        rval["@language"] = value
+                        continue
+                    raise syntax_error("@language must be a string.", "invalid language-tagged string")
+                if not _LANG_RE.match(value):
+                    _warn(options, "invalid @language value",
+                          f"Language tag not well-formed: {value}")
+                rval["@language"] = value.lower()
+                continue
+            if expanded_property == "@direction":
+                if value not in ("ltr", "rtl"):
+                    raise syntax_error("@direction must be ltr/rtl.", "invalid base direction")
+                rval["@direction"] = value
+                continue
+            if expanded_property == "@index":
+                if not isinstance(value, str):
+                    raise syntax_error("@index must be a string.", "invalid @index value")
+                rval["@index"] = value
+                continue
+            if expanded_property == "@reverse":
+                if not isinstance(value, dict):
+                    raise syntax_error("@reverse value must be an object.", "invalid @reverse value")
+                e = expand(active_ctx, value, options, active_property="@reverse")
+                if isinstance(e, dict) and "@reverse" in e:
+                    for prop, items in e["@reverse"].items():
+                        _add_value(rval, prop, items)
+                if isinstance(e, dict):
+                    rev = rval.setdefault("@reverse", {})
+                    for prop, items in e.items():
+                        if prop == "@reverse":
+                            continue
+                        for item in items:
+                            if is_value(item) or is_list(item):
+                                raise syntax_error(
+                                    "Reverse value must be a node object.",
+                                    "invalid reverse property value")
+                            _add_value(rev, prop, item)
+                continue
+            if expanded_property == "@nest":
+                nests.append(key)
+                continue
+            if expanded_property == "@list":
+                if active_property is None or active_property == "@graph":
+                    continue  # free-floating list: ignore
+                e = expand(active_ctx, value, options, active_property=active_property,
+                           inside_list=True)
+                rval["@list"] = e if isinstance(e, list) else [e]
+                continue
+            if expanded_property == "@set":
+                e = expand(active_ctx, value, options, active_property=active_property)
+                rval["@set"] = e
+                continue
+            if options.get("frameExpansion") and expanded_property in (
+                    "@default", "@embed", "@explicit", "@omitDefault", "@requireAll"):
+                rval[expanded_property] = expand(
+                    active_ctx, value, options, active_property=expanded_property)
+                continue
+            # other keywords with no value contribution
+            continue
+
+        # --- regular property
+        mapping = active_ctx["mappings"].get(key) or {}
+        container = mapping.get("@container", [])
+        # property-scoped context
+        term_ctx = active_ctx
+        if mapping.get("@context") is not None:
+            term_ctx = process_context(active_ctx, mapping["@context"], options,
+                                       override_protected=True)
+
+        if value is None and "@list" not in container:
+            continue
+
+        if mapping.get("@type") == "@json":
+            expanded_value = [{"@value": value, "@type": "@json"}]
+        elif "@language" in container and isinstance(value, dict):
+            expanded_value = _expand_language_map(term_ctx, key, value, options)
+        elif "@index" in container and isinstance(value, dict):
+            expanded_value = _expand_index_map(term_ctx, key, value, options,
+                                               index_key=mapping.get("@index", "@index"),
+                                               as_graph="@graph" in container)
+        elif "@id" in container and isinstance(value, dict):
+            expanded_value = _expand_id_map(term_ctx, key, value, options,
+                                            as_graph="@graph" in container)
+        elif "@type" in container and isinstance(value, dict):
+            expanded_value = _expand_type_map(term_ctx, key, value, options)
+        else:
+            is_list_container = "@list" in container
+            e = expand(term_ctx, value, options, active_property=key,
+                       inside_list=is_list_container)
+            if e is None and not is_list_container:
+                continue
+            expanded_value = e
+
+        if expanded_value is None and "@list" in container:
+            expanded_value = []
+        if "@list" in container and not is_list(expanded_value):
+            expanded_value = {"@list": expanded_value if isinstance(expanded_value, list)
+                              else [expanded_value]}
+        if "@graph" in container and not ("@id" in container or "@index" in container):
+            ev = expanded_value if isinstance(expanded_value, list) else [expanded_value]
+            expanded_value = [
+                v if is_graph(v) else {"@graph": v if isinstance(v, list) else [v]}
+                for v in ev
+            ]
+
+        if mapping.get("reverse"):
+            rev = rval.setdefault("@reverse", {})
+            evs = expanded_value if isinstance(expanded_value, list) else [expanded_value]
+            for item in evs:
+                if is_value(item) or is_list(item):
+                    raise syntax_error("Reverse value must be a node object.",
+                                       "invalid reverse property value")
+                _add_value(rev, expanded_property, item)
+        else:
+            _add_value(rval, expanded_property, expanded_value)
+
+    # @nest handling: recurse into nested maps (lib/expand.js:1016-1039)
+    for nest_key in nests:
+        nv = element[nest_key]
+        nvs = nv if isinstance(nv, list) else [nv]
+        for nested in nvs:
+            if not isinstance(nested, dict) or any(
+                    expand_iri(active_ctx, k, vocab=True) == "@value" for k in nested):
+                raise syntax_error("@nest value must be node-like.", "invalid @nest value")
+            _expand_object(active_ctx, active_property, nested, rval, options,
+                           inside_list=False, type_key=None,
+                           type_scoped_ctx=type_scoped_ctx, nests=[])
+
+
+def _expand_type(active_ctx, type_scoped_ctx, value, rval, options):
+    vals = value if isinstance(value, list) else [value]
+    out = []
+    for v in vals:
+        if isinstance(v, str):
+            out.append(expand_iri(type_scoped_ctx, v, vocab=True, base=True))
+        elif options.get("frameExpansion") and isinstance(v, dict):
+            if not v:
+                out.append(v)
+            elif "@default" in v:
+                out.append({"@default": expand_iri(type_scoped_ctx, v["@default"],
+                                                   vocab=True, base=True)})
+            else:
+                raise syntax_error("@type frame value invalid.", "invalid type value")
+        else:
+            raise syntax_error("@type value must be a string or array of strings.",
+                               "invalid type value")
+    existing = rval.get("@type")
+    if existing is not None:
+        ex = existing if isinstance(existing, list) else [existing]
+        out = ex + out
+    rval["@type"] = out if (isinstance(value, list) or len(out) != 1 or existing is not None) else out[0]
+
+
+def _expand_language_map(active_ctx, key, value, options):
+    rval = []
+    mapping = active_ctx["mappings"].get(key) or {}
+    direction = mapping.get("@direction", active_ctx.get("@direction")) \
+        if mapping.get("_has_direction") or True else None
+    for lang in sorted(value.keys()):
+        vals = value[lang] if isinstance(value[lang], list) else [value[lang]]
+        expanded_lang = expand_iri(active_ctx, lang, vocab=True)
+        for item in vals:
+            if item is None:
+                continue
+            if not isinstance(item, str):
+                raise syntax_error("Language map values must be strings.",
+                                   "invalid language map value")
+            if lang != "@none" and not _LANG_RE.match(lang):
+                _warn(options, "invalid @language value",
+                      f"Language tag not well-formed: {lang}")
+            v = {"@value": item}
+            if expanded_lang != "@none":
+                v["@language"] = lang.lower()
+            if direction:
+                v["@direction"] = direction
+            rval.append(v)
+    return rval
+
+
+def _expand_index_map(active_ctx, key, value, options, *, index_key, as_graph):
+    from .context import selected_term_ctx
+    rval = []
+    for k in sorted(value.keys()):
+        ctx = active_ctx
+        if index_key == "@index":
+            kctx = selected_term_ctx(active_ctx, k)
+            if kctx is not None:
+                ctx = process_context(active_ctx, kctx, options)
+        vals = value[k] if isinstance(value[k], list) else [value[k]]
+        expanded_k = expand_iri(ctx, k, vocab=True)
+        e = expand(ctx, vals, options, active_property=key, inside_list=False)
+        for item in e:
+            if as_graph and not is_graph(item):
+                item = {"@graph": item if isinstance(item, list) else [item]}
+            if index_key == "@index":
+                if expanded_k != "@none" and "@index" not in item and not is_value(item):
+                    item = {**item, "@index": k}
+                elif expanded_k != "@none" and is_value(item) and "@index" not in item:
+                    item = {**item, "@index": k}
+            else:
+                # property-valued index (@index: prop)
+                if expanded_k != "@none":
+                    prop_iri = expand_iri(active_ctx, index_key, vocab=True)
+                    iv = _expand_value(active_ctx, index_key, k, options)
+                    item = dict(item)
+                    _add_value(item, prop_iri, iv)
+            rval.append(item)
+    return rval
+
+
+def _expand_id_map(active_ctx, key, value, options, *, as_graph):
+    from .context import selected_term_ctx
+    rval = []
+    for k in sorted(value.keys()):
+        ctx = active_ctx
+        kctx = selected_term_ctx(active_ctx, k)
+        if kctx is not None:
+            ctx = process_context(active_ctx, kctx, options, propagate=False)
+        vals = value[k] if isinstance(value[k], list) else [value[k]]
+        e = expand(ctx, vals, options, active_property=key, inside_list=False)
+        expanded_k = expand_iri(active_ctx, k, base=True)
+        for item in e:
+            if as_graph and not is_graph(item):
+                item = {"@graph": item if isinstance(item, list) else [item]}
+            if expanded_k != "@none":
+                if as_graph:
+                    item = {**item, "@id": expanded_k}
+                elif "@id" not in item:
+                    item = {**item, "@id": expanded_k}
+            rval.append(item)
+    return rval
+
+
+def _expand_type_map(active_ctx, key, value, options):
+    from .context import selected_term_ctx
+    rval = []
+    for k in sorted(value.keys()):
+        ctx = active_ctx
+        kctx = selected_term_ctx(active_ctx, k)
+        if kctx is not None:
+            ctx = process_context(active_ctx, kctx, options, propagate=False)
+        vals = value[k] if isinstance(value[k], list) else [value[k]]
+        e = expand(ctx, vals, options, active_property=key, inside_list=False)
+        expanded_k = expand_iri(active_ctx, k, vocab=True)
+        for item in e:
+            if expanded_k != "@none":
+                item = dict(item)
+                existing = item.get("@type", [])
+                existing = existing if isinstance(existing, list) else [existing]
+                item["@type"] = [expanded_k] + existing
+            rval.append(item)
+    return rval
+
+
+def _expand_value(active_ctx, active_property, value, options):
+    """Value Expansion (spec §5.2; parity lib/expand.js:1053-1129)."""
+    if value is None:
+        return None
+    if active_property == "@type":
+        return expand_iri(active_ctx, value, vocab=True, base=True)
+    if active_property == "@id":
+        return expand_iri(active_ctx, value, base=True)
+
+    mapping = active_ctx["mappings"].get(active_property) or {}
+    t = mapping.get("@type")
+    if t == "@id" and isinstance(value, str):
+        return {"@id": expand_iri(active_ctx, value, base=True)}
+    if t == "@vocab" and isinstance(value, str):
+        return {"@id": expand_iri(active_ctx, value, vocab=True, base=True)}
+    if is_keyword(active_property):
+        return value
+
+    rval = {"@value": value}
+    if t not in (None, "@id", "@vocab", "@none"):
+        rval["@type"] = t
+    elif isinstance(value, str):
+        if mapping.get("_has_language"):
+            lang = mapping.get("@language")
+        else:
+            lang = active_ctx.get("@language")
+        if mapping.get("_has_direction"):
+            direction = mapping.get("@direction")
+        else:
+            direction = active_ctx.get("@direction")
+        if lang is not None:
+            rval["@language"] = lang
+        if direction is not None:
+            rval["@direction"] = direction
+    return rval

@@ -1,0 +1,167 @@
+"""Serialize RDF as JSON-LD (the inverse scan): quads -> expanded form.
+
+W3C JSON-LD 1.1 API §9. Parity: /root/reference/lib/fromRdf.js:51-407.
+The reference is already relational here — it groups a flat quad array
+by (graph, subject) and walks rdf:first/rest chains backwards from
+rdf:nil; the Spark operator (operators/fromrdf_ops.py) does the same
+grouping with a real hash aggregation and calls this kernel
+per-subject-group. This module is the single-dataset form.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from . import constants as C
+
+_INT_RE = re.compile(r"^[+-]?[0-9]+$")
+_DOUBLE_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+_I18N_RE = re.compile(re.escape(C.I18N_NS) + r"([a-zA-Z0-9-]*)_(ltr|rtl)$")
+
+
+def _term_id(t: dict) -> str:
+    if t["termType"] == "BlankNode":
+        return "_:" + t["value"]
+    if t["termType"] == "DefaultGraph":
+        return "@default"
+    return t["value"]
+
+
+def _rdf_to_object(o: dict, use_native_types: bool, rdf_direction: str | None):
+    """RDF term -> JSON-LD value object (lib/fromRdf.js:305-407)."""
+    if o["termType"] in ("NamedNode", "BlankNode"):
+        return {"@id": _term_id(o)}
+    value = o["value"]
+    dt = o.get("datatype", {}).get("value") or C.XSD_STRING
+    lang = o.get("language") or None
+
+    rval: dict = {"@value": value}
+    if lang:
+        rval["@language"] = lang
+        return rval
+    if dt == C.RDF_JSON_LITERAL:
+        try:
+            rval["@value"] = json.loads(value)
+        except ValueError as e:
+            raise ValueError(f"invalid JSON literal: {value!r}") from e
+        rval["@type"] = "@json"
+        return rval
+    if rdf_direction == "i18n-datatype":
+        m = _I18N_RE.match(dt)
+        if m:
+            if m.group(1):
+                rval["@language"] = m.group(1)
+            rval["@direction"] = m.group(2)
+            return rval
+    if use_native_types:
+        if dt == C.XSD_BOOLEAN and value in ("true", "false"):
+            rval["@value"] = value == "true"
+            return rval
+        if dt == C.XSD_INTEGER and _INT_RE.match(value):
+            rval["@value"] = int(value)
+            return rval
+        if dt == C.XSD_DOUBLE and _DOUBLE_RE.match(value):
+            rval["@value"] = float(value)
+            return rval
+    if dt != C.XSD_STRING:
+        rval["@type"] = dt
+    return rval
+
+
+def _add_unique(node: dict, key: str, value) -> None:
+    arr = node.setdefault(key, [])
+    if value not in arr:
+        arr.append(value)
+
+
+def from_rdf(quads: list[dict], *, use_rdf_type: bool = False,
+             use_native_types: bool = False,
+             rdf_direction: str | None = None) -> list:
+    """Quads -> expanded JSON-LD array."""
+    default_graph: dict = {}
+    graph_map: dict[str, dict] = {"@default": default_graph}
+    referenced_once: dict[str, object] = {}
+
+    for quad in quads:
+        name = _term_id(quad["graph"])
+        node_map = graph_map.setdefault(name, {})
+        if name != "@default":
+            default_graph.setdefault(name, {"@id": name})
+
+        s = _term_id(quad["subject"])
+        p = _term_id(quad["predicate"])
+        o = quad["object"]
+        node = node_map.setdefault(s, {"@id": s})
+
+        o_is_node = o["termType"] in ("NamedNode", "BlankNode")
+        if o_is_node:
+            node_map.setdefault(_term_id(o), {"@id": _term_id(o)})
+
+        if p == C.RDF_TYPE and not use_rdf_type and o_is_node:
+            _add_unique(node, "@type", _term_id(o))
+            continue
+
+        value = _rdf_to_object(o, use_native_types, rdf_direction)
+        _add_unique(node, p, value)
+
+        # list-usage bookkeeping (lib/fromRdf.js:113-139)
+        if o_is_node:
+            oid = _term_id(o)
+            if oid == C.RDF_NIL:
+                usages = node_map[oid].setdefault("usages", [])
+                usages.append({"node": node, "property": p, "value": value})
+            elif oid in referenced_once:
+                referenced_once[oid] = False
+            else:
+                referenced_once[oid] = {"node": node, "property": p, "value": value}
+
+    # list reconstruction: backwards walk from rdf:nil (lib/fromRdf.js:209-268)
+    for name, graph_object in graph_map.items():
+        nil = graph_object.get(C.RDF_NIL)
+        if not nil or "usages" not in nil:
+            continue
+        for usage in nil["usages"]:
+            node, prop, head = usage["node"], usage["property"], usage["value"]
+            lst, list_nodes = [], []
+            while (prop == C.RDF_REST
+                   and isinstance(referenced_once.get(node.get("@id", "")), dict)
+                   and node.get("@id", "").startswith("_:")
+                   and isinstance(node.get(C.RDF_FIRST), list)
+                   and len(node[C.RDF_FIRST]) == 1
+                   and isinstance(node.get(C.RDF_REST), list)
+                   and len(node[C.RDF_REST]) == 1
+                   and (len([k for k in node if k not in ("usages",)]) == 3
+                        or (len([k for k in node if k not in ("usages",)]) == 4
+                            and node.get("@type") == [C.RDF_LIST]))):
+                lst.append(node[C.RDF_FIRST][0])
+                list_nodes.append(node["@id"])
+                ref = referenced_once[node["@id"]]
+                node, prop, head = ref["node"], ref["property"], ref["value"]
+                if not node["@id"].startswith("_:"):
+                    break
+            head.pop("@id", None)
+            head["@list"] = list(reversed(lst))
+            for ln in list_nodes:
+                graph_object.pop(ln, None)
+        nil.pop("usages", None)
+
+    # assembly (lib/fromRdf.js:270-292)
+    result = []
+    for subject in sorted(default_graph.keys()):
+        node = default_graph[subject]
+        if subject in graph_map and subject != "@default":
+            graph = []
+            g = graph_map[subject]
+            for s in sorted(g.keys()):
+                n = g[s]
+                n.pop("usages", None)
+                if len(n) == 1 and "@id" in n:
+                    continue
+                graph.append(n)
+            node["@graph"] = graph
+        node.pop("usages", None)
+        if len(node) == 1 and "@id" in node:
+            continue
+        result.append(node)
+    return result

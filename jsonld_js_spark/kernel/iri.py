@@ -1,0 +1,170 @@
+"""IRI algebra: parse / resolve-against-base / relativize.
+
+Fresh implementation of RFC 3986 §5.2 reference resolution plus the
+JSON-LD-specific quirks the reference engine exhibits
+(parity: /root/reference/lib/url.js:63-291). stdlib ``urljoin`` is NOT
+used: it diverges on empty-path bases, ``..`` overflow, and
+scheme-relative corner cases that the conformance suite exercises.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+# RFC 3986 appendix B, anchored; named groups for clarity.
+_URI_RE = re.compile(
+    r"^(?:(?P<scheme>[^:/?#]+):)?"
+    r"(?P<authority_part>//(?P<authority>[^/?#]*))?"
+    r"(?P<path>[^?#]*)"
+    r"(?P<query_part>\?(?P<query>[^#]*))?"
+    r"(?P<fragment_part>#(?P<fragment>.*))?$",
+    re.DOTALL,
+)
+
+_ABSOLUTE_RE = re.compile(
+    # scheme ':' then any non-space chars; lenient like the reference's
+    # isAbsolute (lib/url.js:280-291) which accepts IRIs with fragments.
+    r"^[A-Za-z][A-Za-z0-9+.\-]*:[^\s]*$"
+)
+
+
+def is_absolute_iri(v) -> bool:
+    return isinstance(v, str) and _ABSOLUTE_RE.match(v) is not None
+
+
+def is_relative_iri(v) -> bool:
+    return isinstance(v, str) and not is_absolute_iri(v)
+
+
+@lru_cache(maxsize=4096)
+def parse_iri(iri: str):
+    m = _URI_RE.match(iri)
+    # the regex is total: it always matches
+    return {
+        "scheme": m.group("scheme"),
+        "authority": m.group("authority") if m.group("authority_part") is not None else None,
+        "path": m.group("path") or "",
+        "query": m.group("query") if m.group("query_part") is not None else None,
+        "fragment": m.group("fragment") if m.group("fragment_part") is not None else None,
+    }
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4. '..' above root is dropped (not preserved)."""
+    if not path:
+        return ""
+    output: list[str] = []
+    segments = path.split("/")
+    leading = path.startswith("/")
+    i = 0
+    n = len(segments)
+    while i < n:
+        seg = segments[i]
+        last = i == n - 1
+        i += 1
+        if seg == ".":
+            if last:
+                output.append("")
+            continue
+        if seg == "..":
+            if output and not (len(output) == 1 and output[0] == ""):
+                output.pop()
+            if last:
+                output.append("")
+            continue
+        output.append(seg)
+    joined = "/".join(output)
+    if leading and not joined.startswith("/"):
+        joined = "/" + joined
+    return joined
+
+
+def _recompose(scheme, authority, path, query, fragment) -> str:
+    out = []
+    if scheme is not None:
+        out.append(scheme + ":")
+    if authority is not None:
+        out.append("//" + authority)
+    out.append(path)
+    if query is not None:
+        out.append("?" + query)
+    if fragment is not None:
+        out.append("#" + fragment)
+    return "".join(out)
+
+
+def prepend_base(base, iri: str) -> str:
+    """Resolve ``iri`` against ``base`` (RFC 3986 §5.2.2).
+
+    ``base`` may be None/'' (returns iri unchanged, matching the
+    reference's skip when base is unset, lib/url.js:63-68).
+    """
+    if base is None or base == "":
+        return iri
+    if iri is None:
+        return iri
+    b = parse_iri(base) if isinstance(base, str) else base
+
+    r = parse_iri(iri)
+    if r["scheme"] is not None:
+        scheme, authority, path, query = (
+            r["scheme"],
+            r["authority"],
+            remove_dot_segments(r["path"]),
+            r["query"],
+        )
+    else:
+        scheme = b["scheme"]
+        if r["authority"] is not None:
+            authority, path, query = r["authority"], remove_dot_segments(r["path"]), r["query"]
+        else:
+            authority = b["authority"]
+            if r["path"] == "":
+                path = b["path"]
+                query = r["query"] if r["query"] is not None else b["query"]
+            else:
+                if r["path"].startswith("/"):
+                    path = remove_dot_segments(r["path"])
+                else:
+                    # merge paths
+                    if b["authority"] is not None and b["path"] == "":
+                        merged = "/" + r["path"]
+                    else:
+                        slash = b["path"].rfind("/")
+                        merged = (b["path"][: slash + 1] if slash >= 0 else "") + r["path"]
+                    path = remove_dot_segments(merged)
+                query = r["query"]
+    return _recompose(scheme, authority, path, query, r["fragment"])
+
+
+def remove_base(base, iri: str) -> str:
+    """Relativize ``iri`` against ``base`` (inverse of prepend_base;
+    parity: lib/url.js:155-223). Used by compaction."""
+    if base is None or base == "":
+        return iri
+    b = parse_iri(base)
+    r = parse_iri(iri)
+    if b["scheme"] != r["scheme"] or b["authority"] != r["authority"]:
+        return iri
+
+    b_segments = b["path"].split("/")
+    r_segments = r["path"].split("/")
+    # the last base segment is a "file" name unless path ends in /
+    if b["fragment"] is None and b["query"] is None:
+        b_segments = b_segments[:-1] + [""]
+    # strip common directory prefix
+    while len(b_segments) > 1 and len(r_segments) > 1 and b_segments[0] == r_segments[0]:
+        b_segments.pop(0)
+        r_segments.pop(0)
+    rel = "../" * max(0, len(b_segments) - 1) + "/".join(r_segments)
+    if rel == "":
+        rel = "./" if r["query"] is None and r["fragment"] is None else ""
+    out = rel
+    if r["query"] is not None:
+        out += "?" + r["query"]
+    if r["fragment"] is not None:
+        out += "#" + r["fragment"]
+    if out == "":
+        out = "./"
+    return out

@@ -1,0 +1,273 @@
+"""Deserialize JSON-LD to RDF: node map -> quads.
+
+W3C JSON-LD 1.1 API §8 (Deserialize JSON-LD to RDF Algorithm).
+Parity: /root/reference/lib/toRdf.js (graph/node iteration 53-197,
+list conversion 211-262, literal typing 276-401). The literal
+canonical forms here must be byte-identical to the reference —
+especially xsd:double's JS ``toExponential(15)`` + exponent-collapse
+form (lib/toRdf.js:300-306) and rdf:JSON via JCS (lib/toRdf.js:294-296).
+
+Quads are plain dicts in RDF/JS term shape; :func:`quads_to_rows`
+flattens them to the Spark triples schema
+``(graph, subj, pred, obj_kind, obj_value, obj_datatype, obj_lang)``.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from . import constants as C
+from .iri import is_absolute_iri
+from .jcs import canonicalize
+from .nodemap import IdentifierIssuer, create_node_map
+from .types import is_list, is_value
+
+_DOUBLE_CANON_RE = re.compile(r"(\d)0*e\+?")
+
+
+def double_canonical(v: float) -> str:
+    r"""Canonical xsd:double lexical form, matching JS
+    ``toExponential(15).replace(/(\d)0*e\+?/, '$1E')``."""
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "INF" if v > 0 else "-INF"
+    if v == 0:
+        return "0.0E0"  # JS stringifies -0 unsigned
+    mant, exp = f"{v:.15e}".split("e")
+    js = f"{mant}e{'+' if int(exp) >= 0 else '-'}{abs(int(exp))}"
+    return _DOUBLE_CANON_RE.sub(lambda m: m.group(1) + "E", js, count=1)
+
+
+def _is_double_value(v) -> bool:
+    if isinstance(v, bool):
+        return False
+    if isinstance(v, float):
+        return not v.is_integer() or abs(v) >= 1e21
+    if isinstance(v, int):
+        return abs(v) >= 1e21
+    return False
+
+
+def named_node(value: str) -> dict:
+    return {"termType": "NamedNode", "value": value}
+
+
+def blank_node(value: str) -> dict:
+    return {"termType": "BlankNode", "value": value[2:] if value.startswith("_:") else value}
+
+
+DEFAULT_GRAPH = {"termType": "DefaultGraph", "value": ""}
+
+
+def _term_for_id(iri: str) -> dict:
+    return blank_node(iri) if iri.startswith("_:") else named_node(iri)
+
+
+def to_rdf(expanded, options: dict | None = None) -> list[dict]:
+    """Expanded JSON-LD -> list of quads (RDF/JS-shaped dicts)."""
+    options = options or {}
+    issuer = options.get("issuer") or IdentifierIssuer("_:b")
+    graphs = create_node_map(expanded, issuer=issuer)
+    dataset: list[dict] = []
+    for graph_name in sorted(graphs.keys()):
+        if graph_name == "@default":
+            graph_term = DEFAULT_GRAPH
+        elif graph_name.startswith("_:"):
+            graph_term = blank_node(graph_name)
+        elif is_absolute_iri(graph_name):
+            graph_term = named_node(graph_name)
+        else:
+            continue  # skip relative graph names (lib/toRdf.js:65-84)
+        _graph_to_rdf(dataset, graphs[graph_name], graph_term, issuer, options)
+    return dataset
+
+
+def _graph_to_rdf(dataset, graph: dict, graph_term: dict, issuer, options):
+    for sid in sorted(graph.keys()):
+        node = graph[sid]
+        for prop in sorted(node.keys()):
+            if prop == "@id":
+                continue
+            if prop == "@type":
+                items = node["@type"]
+                predicate = named_node(C.RDF_TYPE)
+            elif prop.startswith("@"):
+                continue
+            else:
+                items = node[prop]
+                if prop.startswith("_:") and not options.get("produceGeneralizedRdf"):
+                    continue  # bnode predicates skipped (lib/toRdf.js:161-180)
+                if not (is_absolute_iri(prop) or prop.startswith("_:")):
+                    continue  # relative predicate dropped (lib/toRdf.js:141-158)
+                predicate = _term_for_id(prop)
+
+            if not (sid.startswith("_:") or is_absolute_iri(sid)):
+                continue  # relative subject dropped (lib/toRdf.js:119-136)
+            subject = _term_for_id(sid)
+
+            for item in items:
+                if prop == "@type":
+                    item = {"@id": item} if isinstance(item, str) else item
+                if is_list(item):
+                    head = _list_to_rdf(dataset, item["@list"], issuer,
+                                        subject_graph=graph_term, options=options)
+                    obj = head
+                else:
+                    obj = _object_to_rdf(dataset, item, issuer, graph_term, options)
+                if obj is not None:
+                    dataset.append({"subject": subject, "predicate": predicate,
+                                    "object": obj, "graph": graph_term})
+
+
+def _list_to_rdf(dataset, items: list, issuer, *, subject_graph, options) -> dict:
+    """rdf:first/rest/nil chain with fresh bnodes (lib/toRdf.js:211-262)."""
+    first = named_node(C.RDF_FIRST)
+    rest = named_node(C.RDF_REST)
+    nil = named_node(C.RDF_NIL)
+
+    converted = []
+    for item in items:
+        obj = _object_to_rdf(dataset, item, issuer, subject_graph, options)
+        if obj is not None:
+            converted.append(obj)
+    if not converted:
+        return nil
+    head = blank_node(issuer.get_id())
+    cur = head
+    for i, obj in enumerate(converted):
+        dataset.append({"subject": cur, "predicate": first, "object": obj,
+                        "graph": subject_graph})
+        if i + 1 < len(converted):
+            nxt = blank_node(issuer.get_id())
+            dataset.append({"subject": cur, "predicate": rest, "object": nxt,
+                            "graph": subject_graph})
+            cur = nxt
+        else:
+            dataset.append({"subject": cur, "predicate": rest, "object": nil,
+                            "graph": subject_graph})
+    return head
+
+
+def _object_to_rdf(dataset, item, issuer, graph_term, options) -> dict | None:
+    """Value/node -> RDF term, with canonical literal forms
+    (lib/toRdf.js:276-401)."""
+    if is_value(item):
+        value = item["@value"]
+        datatype = item.get("@type")
+        language = item.get("@language")
+        direction = item.get("@direction")
+        obj = {"termType": "Literal", "value": None,
+               "datatype": {"termType": "NamedNode", "value": None}, "language": ""}
+
+        if datatype == "@json":
+            obj["value"] = canonicalize(value)
+            obj["datatype"]["value"] = C.RDF_JSON_LITERAL
+        elif isinstance(value, bool):
+            obj["value"] = "true" if value else "false"
+            obj["datatype"]["value"] = datatype or C.XSD_BOOLEAN
+        elif _is_double_value(value) or datatype == C.XSD_DOUBLE:
+            obj["value"] = double_canonical(float(value))
+            obj["datatype"]["value"] = datatype or C.XSD_DOUBLE
+        elif isinstance(value, (int, float)) and not isinstance(value, bool):
+            obj["value"] = str(int(value))
+            obj["datatype"]["value"] = datatype or C.XSD_INTEGER
+        elif direction is not None and options.get("rdfDirection") == "i18n-datatype":
+            obj["value"] = str(value)
+            obj["datatype"]["value"] = f"{C.I18N_NS}{(language or '')}_{direction}"
+        elif direction is not None and options.get("rdfDirection") == "compound-literal":
+            # compound literal: bnode with rdf:value/rdf:language/rdf:direction
+            node = blank_node(issuer.get_id())
+            dataset.append({"subject": node, "predicate": named_node(C.RDF + "value"),
+                            "object": {"termType": "Literal", "value": str(value),
+                                       "datatype": named_node(C.XSD_STRING), "language": ""},
+                            "graph": graph_term})
+            if language:
+                dataset.append({"subject": node, "predicate": named_node(C.RDF + "language"),
+                                "object": {"termType": "Literal", "value": language,
+                                           "datatype": named_node(C.XSD_STRING), "language": ""},
+                                "graph": graph_term})
+            dataset.append({"subject": node, "predicate": named_node(C.RDF + "direction"),
+                            "object": {"termType": "Literal", "value": direction,
+                                       "datatype": named_node(C.XSD_STRING), "language": ""},
+                            "graph": graph_term})
+            return node
+        elif language is not None:
+            obj["value"] = value
+            obj["datatype"]["value"] = datatype or C.RDF_LANGSTRING
+            obj["language"] = language
+        else:
+            obj["value"] = value
+            obj["datatype"]["value"] = datatype or C.XSD_STRING
+        return obj
+
+    if is_list(item):
+        return _list_to_rdf(dataset, item["@list"], issuer,
+                            subject_graph=graph_term, options=options)
+
+    # node reference
+    iri = item["@id"] if isinstance(item, dict) else item
+    if isinstance(iri, str) and iri.startswith("_:"):
+        return blank_node(iri)
+    if not is_absolute_iri(iri):
+        return None  # relative object dropped (lib/toRdf.js:382-398)
+    return named_node(iri)
+
+
+# ---------------------------------------------------------------- Spark rows
+
+TRIPLE_COLUMNS = ("graph", "subj", "pred", "obj_kind", "obj_value",
+                  "obj_datatype", "obj_lang")
+
+
+def _term_to_id(t: dict) -> str:
+    if t["termType"] == "BlankNode":
+        return "_:" + t["value"]
+    if t["termType"] == "DefaultGraph":
+        return ""
+    return t["value"]
+
+
+def quads_to_rows(quads: list[dict]) -> list[tuple]:
+    """Flatten RDF/JS quads to the engine triples schema."""
+    rows = []
+    for q in quads:
+        o = q["object"]
+        if o["termType"] == "Literal":
+            kind = "literal"
+            dt = o["datatype"]["value"]
+            lang = o.get("language") or None
+            val = o["value"]
+        else:
+            kind = "bnode" if o["termType"] == "BlankNode" else "iri"
+            dt = None
+            lang = None
+            val = _term_to_id(o)
+        rows.append((
+            _term_to_id(q["graph"]),
+            _term_to_id(q["subject"]),
+            _term_to_id(q["predicate"]),
+            kind, val, dt, lang,
+        ))
+    return rows
+
+
+def rows_to_quads(rows) -> list[dict]:
+    """Inverse of :func:`quads_to_rows`."""
+    quads = []
+    for graph, subj, pred, kind, val, dt, lang in rows:
+        if graph == "" or graph is None:
+            g = DEFAULT_GRAPH
+        else:
+            g = _term_for_id(graph)
+        if kind == "literal":
+            o = {"termType": "Literal", "value": val,
+                 "datatype": named_node(dt or C.XSD_STRING),
+                 "language": lang or ""}
+        else:
+            o = _term_for_id(val)
+        quads.append({"subject": _term_for_id(subj),
+                      "predicate": _term_for_id(pred),
+                      "object": o, "graph": g})
+    return quads

@@ -1,0 +1,135 @@
+"""RDFC-1.0 / URDNA2015 canonicalization vectors + properties.
+
+The decisive property (what the W3C rdf-canon suite checks): canonical
+output is invariant under arbitrary relabeling of input blank nodes.
+Plus: hash-order label assignment, n-degree tie-breaking on symmetric
+structures, and the maxWorkFactor poison-graph bound
+(/root/reference/tests/test.js:652-667 semantics).
+"""
+
+import itertools
+
+import pytest
+
+from jsonld_js_spark.kernel import canonize
+from jsonld_js_spark.kernel.canon import PoisonedDatasetError, canonical_id_map
+from jsonld_js_spark.kernel.nquads import parse, serialize
+
+EX = "http://example.org/vocab#"
+
+
+def canon_nq(nq: str, **kw) -> str:
+    from jsonld_js_spark.kernel.canon import canonize as c
+    return c(parse(nq), **kw)
+
+
+def relabelings(nq: str, labels):
+    """All permutations of the given input labels."""
+    for perm in itertools.permutations(labels):
+        out = nq
+        for old, new in zip(labels, [f"_:tmp{i}" for i in range(len(labels))]):
+            out = out.replace(old + " ", new + " ")
+        for tmp, new in zip([f"_:tmp{i}" for i in range(len(labels))], perm):
+            out = out.replace(tmp + " ", new + " ")
+        yield out
+
+
+def test_single_bnode():
+    nq = f'_:x <{EX}p> "v" .\n'
+    assert canon_nq(nq) == f'_:c14n0 <{EX}p> "v" .\n'
+
+
+def test_two_independent_bnodes_hash_order():
+    nq = (f'_:x <{EX}p> "a" .\n'
+          f'_:y <{EX}p> "b" .\n')
+    out = canon_nq(nq)
+    # labels assigned in first-degree-hash order, deterministic
+    lines = out.strip().split("\n")
+    assert len(lines) == 2
+    assert sorted(out.strip().split("\n")) == lines
+    # invariant under input relabeling
+    for variant in relabelings(nq, ["_:x", "_:y"]):
+        assert canon_nq(variant) == out
+
+
+def test_symmetric_cycle_tiebreak():
+    nq = (f"_:e0 <{EX}next> _:e1 .\n"
+          f"_:e1 <{EX}next> _:e0 .\n")
+    out = canon_nq(nq)
+    assert out == (f"_:c14n0 <{EX}next> _:c14n1 .\n"
+                   f"_:c14n1 <{EX}next> _:c14n0 .\n")
+    for variant in relabelings(nq, ["_:e0", "_:e1"]):
+        assert canon_nq(variant) == out
+
+
+def test_mixed_iri_and_bnodes():
+    nq = (f'<http://example.org/s> <{EX}p> _:a .\n'
+          f'_:a <{EX}q> _:b .\n'
+          f'_:b <{EX}r> "leaf" .\n'
+          f'_:a <{EX}q> _:c .\n'
+          f'_:c <{EX}r> "leaf2" .\n')
+    out = canon_nq(nq)
+    for variant in relabelings(nq, ["_:a", "_:b", "_:c"]):
+        assert canon_nq(variant) == out
+    # every bnode got a canonical id
+    idmap = canonical_id_map(parse(nq))
+    assert sorted(idmap.values()) == ["c14n0", "c14n1", "c14n2"]
+
+
+def test_bnode_graph_names():
+    nq = (f'<http://example.org/s> <{EX}p> "v" _:g .\n'
+          f'_:g <{EX}label> "graph" .\n')
+    out = canon_nq(nq)
+    assert "_:c14n0" in out
+    for variant in relabelings(nq, ["_:g"]):
+        assert canon_nq(variant) == out
+
+
+def test_three_cycle_invariance():
+    nq = (f"_:a <{EX}next> _:b .\n"
+          f"_:b <{EX}next> _:c .\n"
+          f"_:c <{EX}next> _:a .\n")
+    out = canon_nq(nq)
+    seen = {canon_nq(v) for v in relabelings(nq, ["_:a", "_:b", "_:c"])}
+    assert seen == {out}
+
+
+def _clique(n: int) -> str:
+    lines = []
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                lines.append(f"_:n{i} <{EX}edge> _:n{j} .")
+    return "\n".join(lines) + "\n"
+
+
+def test_poison_graph_bounded():
+    nq = _clique(6)
+    with pytest.raises(PoisonedDatasetError):
+        canon_nq(nq, max_work_factor=1)
+
+
+def test_clique_small_ok_with_high_factor():
+    nq = _clique(3)
+    out = canon_nq(nq, max_work_factor=3)
+    labels = {t for line in out.strip().split("\n") for t in line.split() if t.startswith("_:")}
+    assert labels == {"_:c14n0", "_:c14n1", "_:c14n2"}
+    for variant in relabelings(nq, ["_:n0", "_:n1", "_:n2"]):
+        assert canon_nq(variant, max_work_factor=3) == out
+
+
+def test_document_api_canonize():
+    doc = {"@context": {"@vocab": EX},
+           "p": [{"q": "x"}, {"q": "y"}]}
+    out = canonize(doc)
+    assert "_:c14n" in out
+    lines = out.strip().split("\n")
+    assert lines == sorted(lines)
+
+
+def test_nquads_roundtrip():
+    nq = (f'<http://example.org/s> <{EX}p> "a\\"b\\nc" .\n'
+          f'<http://example.org/s> <{EX}q> "1.5E0"^^<http://www.w3.org/2001/XMLSchema#double> .\n'
+          f'<http://example.org/s> <{EX}r> "hola"@es .\n'
+          f'_:b0 <{EX}s> <http://example.org/o> <http://example.org/g> .\n')
+    assert serialize(parse(nq)) == nq
