@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — rows of /root/testdata/sf0.001 turned
+  into JSON-LD docs and run through the fused expand->nodeMap->toRDF
+  Arrow stage (the engine's core path).
+- ``queries()``: one entry per implemented operator family from
+  SURVEY.md §2 (+ the training-data operator battery).
+- ``oracle_sql()``: DuckDB-runnable ANSI SQL for every
+  SQL-expressible query; kg_extract/kg_canonize over the synthetic
+  transcript corpus are non-SQL-expressible (their correctness gate is
+  the hand-written-quads P/R test in tests/test_pipeline.py).
 """
 
 from __future__ import annotations
@@ -13,26 +17,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from jsonld_js_spark.queries import QUERIES, kg_tordf_customers
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return kg_tordf_customers(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql}

@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: triples/sec of the fused transcripts->triples KG
+extraction (the north-rule path), measured over the deterministic
+synthetic corpus. `queries` carries per-query wall seconds for the
+operator battery at the given scale factor.
+
+Scaling-efficiency protocol (BASELINE.md): run this same script at
+SPARK_GRAFT_CPUS=8 and =32 on identical input (scripts/bench_scaling.py
+automates it and writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "3000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    from jsonld_js_spark.operators.pipeline import extract_triples, triples_only
+    from jsonld_js_spark.queries import QUERIES
+    from jsonld_js_spark.session import build_session
+    from jsonld_js_spark.sources.transcripts import synthesize_transcripts
+
+    spark = build_session("jsonld-js-spark-bench", cores=cpus,
+                          shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # headline: KG extraction throughput over the transcript corpus
+    tx = synthesize_transcripts(spark, n_convs, seed=42).cache()
+    n_turns = tx.count()  # materialize input outside the timed region
+    t0 = time.perf_counter()
+    n_triples = triples_only(extract_triples(tx)).count()
+    extract_sec = time.perf_counter() - t0
+    triples_per_sec = n_triples / extract_sec if extract_sec > 0 else 0.0
+    tx.unpersist()
+
+    per_query: dict[str, float] = {"kg_extract_transcripts_headline": round(extract_sec, 3)}
+    skip = {"kg_extract_transcripts", "kg_canonize_transcripts"}
+    for name, (fn, _sql) in QUERIES.items():
+        if name in skip:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "kg_extract_triples_per_sec",
+        "value": round(triples_per_sec, 1),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "detail": {
+            "cores": cpus,
+            "input_turns": n_turns,
+            "triples": n_triples,
+            "extract_wall_sec": round(extract_sec, 3),
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

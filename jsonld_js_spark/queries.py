@@ -1,0 +1,742 @@
+"""Driver-contract query library: SURVEY §2 operator coverage.
+
+Every entry here is a (spark, sf_dir) -> DataFrame callable with —
+wherever expressible — a matching ANSI-SQL oracle DuckDB runs on the
+same parquet. Column names/aliases match EXACTLY between both sides
+(the driver hash-compares values under sorted column names).
+
+Numeric discipline for cross-engine equality:
+- money: cents as BIGINT (exact integer arithmetic both sides);
+- float aggregates: ROUND(x, 4..6) — both engines compute IEEE
+  doubles over identical inputs;
+- hashes: md5-hex-prefix -> 60-bit integer, identical construction in
+  Spark (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+  (`cast(concat('0x', substr(md5(x),1,15)) as ubigint)`).
+
+Operator-category map (SURVEY §2.11): scans/filters (q_filter_*),
+joins incl. broadcast + salted-skew (q_join_*, q_skew_*), aggregations
+(q_agg_*, doc_*), windows (q_window_*, q_events_*), sorts/top-k
+(q_topk_*), set ops (q_setop_*), ref-counting (q_refcount_*), the
+JSON-LD engine itself (kg_*), training-data ops (doc_*, emb_*, mm_*).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col):
+    return F.round(col * 100).cast("long")
+
+
+# =====================================================================
+# Relational operators over the star schema
+# =====================================================================
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style partial+final hash aggregation (SURVEY §2.11
+    aggregations; Catalyst partial agg comes free)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+                 F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                 .alias("sum_disc_price_cents"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+ORACLE_Q_AGG = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS sum_disc_price_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_broadcast_region_sales(spark, sf_dir):
+    """Star join with explicit broadcast of the small dims — the plan
+    the entity-linking join uses (broadcast dictionary, SURVEY §2.11)."""
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                 .alias("revenue_cents"),
+                 F.countDistinct("s_suppkey").alias("n_suppliers")))
+
+
+ORACLE_Q_JOIN_BROADCAST = """
+SELECT r_name,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS revenue_cents,
+       COUNT(DISTINCT s_suppkey) AS n_suppliers
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_window_top_order_per_cust(spark, sf_dir):
+    """row_number() window — the embed-@once / first-match semantics
+    of framing (lib/frame.js:136-169) as a relational op."""
+    from pyspark.sql.window import Window
+    o = load(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()))
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey",
+                    _cents(F.col("o_totalprice")).alias("top_price_cents")))
+
+
+ORACLE_Q_WINDOW = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS top_price_cents
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+WHERE rn = 1
+"""
+
+
+def q_topk_orders(spark, sf_dir):
+    """Global top-k (sort + limit; TakeOrderedAndProject physical op)."""
+    o = load(spark, sf_dir, "orders")
+    return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(10)
+            .select("o_orderkey", _cents(F.col("o_totalprice")).alias("price_cents")))
+
+
+ORACLE_Q_TOPK = """
+SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_setop_union_dedup(spark, sf_dir):
+    """unionByName + dropDuplicates == jsonld.merge's node-level dedupe
+    (lib/jsonld.js:770-857 -> SURVEY §2.11 set ops)."""
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name")
+    b = c.filter(F.col("c_acctbal") > 0).select("c_custkey", "c_name")
+    return a.unionByName(b).dropDuplicates(["c_custkey", "c_name"])
+
+
+ORACLE_Q_SETOP = """
+SELECT DISTINCT c_custkey, c_name FROM (
+  SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 0)
+"""
+
+
+def q_filter_pushdown_part(spark, sf_dir):
+    """Selective filter + narrow projection — predicate pushdown +
+    column pruning must reach the parquet scan (checked in bench via
+    .explain)."""
+    p = load(spark, sf_dir, "part")
+    return (p.filter((F.col("p_size") % 5 == 0) & (F.col("p_size") <= 40))
+            .select("p_partkey", "p_name", "p_size"))
+
+
+ORACLE_Q_FILTER = """
+SELECT p_partkey, p_name, p_size FROM part
+WHERE p_size % 5 = 0 AND p_size <= 40
+"""
+
+
+def q_refcount_once(spark, sf_dir):
+    """Objects referenced exactly once — fromRDF's `referencedOnce`
+    list-folding precondition (lib/fromRdf.js:129-139) as groupBy+HAVING."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") == 1).select("l_orderkey"))
+
+
+ORACLE_Q_REFCOUNT = """
+SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) = 1
+"""
+
+
+def q_antijoin_customers_without_orders(spark, sf_dir):
+    """Left-anti join == framing's match-none semantics / flatten's
+    drop of referenced-only nodes (lib/flatten.js:33)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+ORACLE_Q_ANTIJOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """Equi-join with explicit key salting (SALT=8): the big side gets
+    a random-free deterministic salt from its row, the small side is
+    exploded across all salt values — the north_star pattern for hot
+    conv_ids / high-degree entities. Result identical to the plain
+    join (that's what the oracle checks)."""
+    n_salt = 8
+    li = (load(spark, sf_dir, "lineitem")
+          .withColumn("salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                                     F.lit(n_salt))))
+    o = (load(spark, sf_dir, "orders")
+         .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))))
+    return (li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+            .groupBy("o_orderpriority")
+            .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_cents"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+ORACLE_Q_SKEW = """
+SELECT o_orderpriority,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """lag() window over an event stream: session starts per user with
+    a 30-minute gap rule (stateful-stream analog in batch form)."""
+    from pyspark.sql.window import Window
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    return (e.withColumn("new_session",
+                         F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .groupBy("user_id")
+            .agg(F.sum("new_session").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+ORACLE_Q_SESSIONIZE = """
+SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+GROUP BY user_id
+"""
+
+
+def q_events_windowed(spark, sf_dir):
+    """Tumbling 1-hour window counts per event type (the batch shape of
+    the Structured-Streaming windowed agg in streaming/incremental)."""
+    e = load(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                      "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+ORACLE_Q_WINDOWED = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# The JSON-LD engine itself, SQL-oracle-checked by construction
+# =====================================================================
+
+KG_V = "https://example.org/kg#"
+
+
+def kg_tordf_customers(spark, sf_dir):
+    """Rows -> JSON-LD docs -> fused expand+nodeMap+toRDF -> triples.
+
+    The doc embeds a nested node (nation) so the UDF exercises node
+    splitting; the oracle reconstructs every expected triple with
+    plain SQL string concat — a fully independent check of IRI
+    expansion, @type handling, nesting, and integer literal typing.
+    """
+    from .operators.pipeline import extract_triples, triples_only
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    c2 = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+          .select("c_custkey", "c_name", "c_mktsegment", "n_nationkey", "n_name"))
+    doc_text = F.concat(
+        F.lit('{"@context": {"@vocab": "' + KG_V + '"}, '),
+        F.lit('"@id": "https://example.org/kg/customer/'), F.col("c_custkey"),
+        F.lit('", "@type": "Customer", "name": "'), F.col("c_name"),
+        F.lit('", "segment": "'), F.col("c_mktsegment"),
+        F.lit('", "nation": {"@id": "https://example.org/kg/nation/'),
+        F.col("n_nationkey"),
+        F.lit('", "name": "'), F.col("n_name"), F.lit('"}}'))
+    docs = c2.select(
+        F.lit("kg").alias("conv_id"),
+        F.col("c_custkey").cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        doc_text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    tri = triples_only(extract_triples(docs))
+    # dataset-level merge semantics: duplicate (subj,pred,obj) across
+    # documents collapse, exactly jsonld.merge's allowDuplicate:false
+    # (lib/util.js:246-298) -> dropDuplicates after the union
+    return (tri.select("subj", "pred", F.col("obj_value").alias("obj"))
+            .dropDuplicates(["subj", "pred", "obj"])
+            .orderBy("subj", "pred", "obj"))
+
+
+ORACLE_KG_TORDF = f"""
+WITH cust AS (
+  SELECT c_custkey, c_name, c_mktsegment, n_nationkey, n_name
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+t AS (
+  SELECT 'https://example.org/kg/customer/' || c_custkey AS subj,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         '{KG_V}Customer' AS obj FROM cust
+  UNION ALL
+  SELECT 'https://example.org/kg/customer/' || c_custkey,
+         '{KG_V}name', c_name FROM cust
+  UNION ALL
+  SELECT 'https://example.org/kg/customer/' || c_custkey,
+         '{KG_V}segment', c_mktsegment FROM cust
+  UNION ALL
+  SELECT 'https://example.org/kg/customer/' || c_custkey,
+         '{KG_V}nation', 'https://example.org/kg/nation/' || n_nationkey
+  FROM cust
+  UNION ALL
+  SELECT DISTINCT 'https://example.org/kg/nation/' || n_nationkey,
+         '{KG_V}name', n_name FROM cust)
+SELECT subj, pred, obj FROM t ORDER BY subj, pred, obj
+"""
+
+
+def kg_extract_transcripts(spark, sf_dir):
+    """Flagship KG construction over the synthetic transcript corpus
+    (deterministic, seed-fixed). No SQL oracle — correctness is the
+    hand-written-quads P/R gate in tests/test_pipeline.py (canonize-
+    then-compare, the reference comparator's semantics)."""
+    from .operators.pipeline import extract_triples, triples_only
+    from .sources.transcripts import synthesize_transcripts
+
+    tx = synthesize_transcripts(spark, 100, seed=42)
+    return triples_only(extract_triples(tx))
+
+
+def kg_canonize_transcripts(spark, sf_dir):
+    """Same pipeline with per-document RDFC-1.0 canonical labels
+    (salt-namespaced). Rows-only check; label correctness is
+    tests/test_canon.py."""
+    from .operators.pipeline import extract_triples, triples_only
+    from .sources.transcripts import synthesize_transcripts
+
+    tx = synthesize_transcripts(spark, 40, seed=42)
+    return triples_only(extract_triples(tx, canonicalize=True))
+
+
+# =====================================================================
+# Training-data operators: dedup / similarity / text / multimodal
+# =====================================================================
+
+def _tokens(col):
+    return F.array_distinct(F.filter(F.split(col, " "), lambda x: x != ""))
+
+
+def doc_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on a content key (md5 of the first 60
+    chars; the corpus has no full-text dups); keeper = min doc_id."""
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.substring("text", 1, 60)).alias("content_key")
+    return (d.groupBy(key)
+            .agg(F.min("doc_id").alias("keeper"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .filter(F.col("n_copies") > 1)
+            .select("keeper", "n_copies"))
+
+
+ORACLE_DOC_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(substr(text, 1, 60)) HAVING COUNT(*) > 1
+"""
+
+
+def doc_dedup_token_jaccard(spark, sf_dir):
+    """Near-dup detection: token-set Jaccard >= 0.8 within
+    (lang, source) blocks. Blocking bounds the pair space (at scale:
+    replace blocks with MinHash-LSH buckets, below); the join is a
+    real shuffle join on the block key."""
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", "lang", "source", _tokens(F.col("text")).alias("toks"))
+         .filter(F.size("toks") > 0))
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = inter / union
+    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.source") == F.col("b.source"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc1"),
+                    F.col("b.doc_id").alias("doc2"),
+                    F.round(jac, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.8))
+
+
+ORACLE_DOC_JACCARD = """
+WITH d AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS toks
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+             4) AS jaccard
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+"""
+
+
+_N_MINHASH = 12
+_N_BANDS = 4  # 3 rows per band
+
+
+def _hash60(col):
+    """60-bit integer from md5 hex prefix — identical in DuckDB via
+    cast(concat('0x', substr(md5(x),1,15)) as ubigint)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def doc_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(12) + LSH(4 bands x 3): shingle->minhash->band->
+    bucket-join. Candidates = pairs sharing any band signature; output
+    verified with true token Jaccard >= 0.5. This is the scale path:
+    pair space is bounded by bucket collisions, not blocks."""
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", _tokens(F.col("text")).alias("toks"))
+         .filter(F.size("toks") > 0))
+    tok = d.select("doc_id", F.explode("toks").alias("t"))
+    mins = tok.groupBy("doc_id").agg(*[
+        F.min(_hash60(F.concat(F.lit(f"s{i}|"), F.col("t")))).alias(f"mh{i}")
+        for i in range(_N_MINHASH)])
+    rows_per_band = _N_MINHASH // _N_BANDS
+    bands = []
+    for b in range(_N_BANDS):
+        sig = F.md5(F.concat_ws(
+            "|", *[F.col(f"mh{b * rows_per_band + r}").cast("string")
+                   for r in range(rows_per_band)]))
+        bands.append(mins.select("doc_id", F.lit(b).alias("band"),
+                                 sig.alias("sig")))
+    buckets = bands[0]
+    for extra in bands[1:]:
+        buckets = buckets.unionByName(extra)
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc1"),
+                    F.col("b.doc_id").alias("doc2"))
+            .distinct())
+    da = d.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"))
+    db = d.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2"))
+    inter = F.size(F.array_intersect("toks1", "toks2"))
+    union = F.size(F.array_union("toks1", "toks2"))
+    return (cand.join(da, "doc1").join(db, "doc2")
+            .select("doc1", "doc2", F.round(inter / union, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.5))
+
+
+ORACLE_DOC_MINHASH = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS toks
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+mins AS (
+  SELECT doc_id,
+         {", ".join(
+             "MIN(CAST(concat('0x', substr(md5('s%d|' || t), 1, 15)) AS UBIGINT))"
+             " AS mh%d" % (i, i) for i in range(_N_MINHASH))}
+  FROM tok GROUP BY doc_id),
+buckets AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, %d AS band, md5(%s) AS sig FROM mins" % (
+          b, " || '|' || ".join(
+              "CAST(mh%d AS VARCHAR)" % (b * (_N_MINHASH // _N_BANDS) + r)
+              for r in range(_N_MINHASH // _N_BANDS)))
+      for b in range(_N_BANDS))}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+SELECT doc1, doc2,
+       ROUND(CAST(len(list_intersect(d1.toks, d2.toks)) AS DOUBLE)
+             / (len(d1.toks) + len(d2.toks)
+                - len(list_intersect(d1.toks, d2.toks))), 4) AS jaccard
+FROM cand JOIN d d1 ON d1.doc_id = doc1 JOIN d d2 ON d2.doc_id = doc2
+WHERE CAST(len(list_intersect(d1.toks, d2.toks)) AS DOUBLE)
+      / (len(d1.toks) + len(d2.toks) - len(list_intersect(d1.toks, d2.toks)))
+      >= 0.5
+"""
+
+
+def doc_simhash(spark, sf_dir):
+    """32-bit SimHash per document from token md5 bits (sum of ±1 per
+    bit position over tokens, sign -> bit). Pure column algebra — no
+    UDF. SQL oracle builds the identical signature."""
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", _tokens(F.col("text")).alias("toks"))
+         .filter(F.size("toks") > 0))
+    tok = (d.select("doc_id", F.explode("toks").alias("t"))
+           .select("doc_id", _hash60(F.col("t")).alias("h")))
+    bit_sums = tok.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
+              .otherwise(-1)).alias(f"b{i}")
+        for i in range(32)])
+    sig = None
+    for i in range(32):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bit_sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+ORACLE_DOC_SIMHASH = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS toks
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+tok AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS UBIGINT) AS h
+  FROM d),
+bits AS (
+  SELECT doc_id, {sums}
+  FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
+""".format(
+    sums=", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)),
+    sig=" + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END"
+                   for i in range(32)))
+
+
+def doc_text_stats(spark, sf_dir):
+    """Language-ID heuristic + quality scoring + token counting per
+    source (the text-analysis battery, all JVM-side column functions)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    punct = F.length(F.regexp_replace(F.col("text"), "[^.!?,;]", ""))
+    stop = F.size(F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to")))
+    quality = F.when((n_tok >= 5) & (punct * 4 <= n_tok) & (n_chars >= 30), 1).otherwise(0)
+    return (d.select("source", "lang", n_tok.alias("n_tok"),
+                     quality.alias("quality"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.round(F.avg("quality"), 4).alias("quality_rate"),
+                 F.countDistinct("lang").alias("n_langs")))
+
+
+ORACLE_DOC_TEXT_STATS = """
+WITH s AS (
+  SELECT source, lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+         CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) >= 5
+                   AND length(regexp_replace(text, '[^.!?,;]', '', 'g')) * 4
+                       <= len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AND length(text) >= 30
+              THEN 1 ELSE 0 END AS quality
+  FROM documents)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+       ROUND(AVG(quality), 4) AS quality_rate,
+       COUNT(DISTINCT lang) AS n_langs
+FROM s GROUP BY source
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: min-hash over rolling 8-char grams
+    (winnowing-lite). Grams via native sequence+transform — no UDF."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 7),
+        lambda i: F.col("text").substr(i, F.lit(8)))
+    g = d.select("doc_id", F.explode(grams).alias("g"))
+    return (g.groupBy("doc_id")
+            .agg(F.min(_hash60(F.col("g"))).alias("fingerprint"),
+                 F.countDistinct("g").alias("n_grams")))
+
+
+ORACLE_DOC_FINGERPRINT = """
+WITH g AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+  FROM documents WHERE length(text) >= 8)
+SELECT doc_id,
+       MIN(CAST(concat('0x', substr(md5(substr(text, i, 8)), 1, 15))
+           AS UBIGINT)) AS fingerprint,
+       COUNT(DISTINCT substr(text, i, 8)) AS n_grams
+FROM g GROUP BY doc_id
+"""
+
+
+def emb_pair_cosine(spark, sf_dir):
+    """Vector similarity as pure column algebra: cosine(vec_0, vec_k)
+    for k in 1..20 — F.zip_with + F.aggregate, no UDF."""
+    e = load(spark, sf_dir, "embeddings")
+    e = e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"))
+    t = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 20))
+    joined = t.crossJoin(F.broadcast(q))
+    dot = F.aggregate(F.zip_with("embedding", "qv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("embedding", lambda a: a * a),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("qv", lambda a: a * a),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return joined.select("vec_id",
+                         F.round(dot / (na * nb), 6).alias("cosine"))
+
+
+ORACLE_EMB_PAIR = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+FROM embeddings, q WHERE vec_id BETWEEN 1 AND 20
+"""
+
+
+def emb_knn_brute(spark, sf_dir):
+    """Brute-force cosine top-k (k=10) against vec_0 — the ANN
+    baseline. Top-k via orderBy+limit (TakeOrdered)."""
+    e = (load(spark, sf_dir, "embeddings")
+         .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    t = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(F.zip_with("embedding", "qv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("embedding", lambda a: a * a),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("qv", lambda a: a * a),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (t.select("vec_id", F.round(dot / (na * nb), 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+            .limit(10))
+
+
+ORACLE_EMB_KNN = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def emb_centroid_norm(spark, sf_dir):
+    """Per-label centroid via posexplode + groupBy — the IVF
+    coarse-quantizer build step of the ANN scale path."""
+    e = load(spark, sf_dir, "embeddings")
+    return (e.select("label", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("label", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("avg_v")))
+
+
+ORACLE_EMB_CENTROID = """
+SELECT label, i - 1 AS pos, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS avg_v
+FROM embeddings, generate_series(1, 64) gs(i)
+GROUP BY label, i - 1
+"""
+
+
+def mm_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: documents.text as an opaque binary column
+    with typed metadata, decoded by a deterministic STUB feature
+    extractor over mapInPandas (real Arrow batch shape; the actual
+    image/audio decode is NotImplemented in this container — see
+    operators/multimodal.py). Oracle checks the deterministic fake."""
+    from .operators.multimodal import extract_binary_features
+
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", F.encode("text", "utf-8").alias("payload"),
+                 F.lit("application/octet-stream").alias("mime")))
+    return extract_binary_features(d)
+
+
+ORACLE_MM_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+       CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height
+FROM documents
+"""
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES = {
+    "q_agg_pricing_summary": (q_agg_pricing_summary, ORACLE_Q_AGG),
+    "q_join_broadcast_region_sales": (q_join_broadcast_region_sales,
+                                      ORACLE_Q_JOIN_BROADCAST),
+    "q_window_top_order_per_cust": (q_window_top_order_per_cust, ORACLE_Q_WINDOW),
+    "q_topk_orders": (q_topk_orders, ORACLE_Q_TOPK),
+    "q_setop_union_dedup": (q_setop_union_dedup, ORACLE_Q_SETOP),
+    "q_filter_pushdown_part": (q_filter_pushdown_part, ORACLE_Q_FILTER),
+    "q_refcount_once": (q_refcount_once, ORACLE_Q_REFCOUNT),
+    "q_antijoin_customers_without_orders": (q_antijoin_customers_without_orders,
+                                            ORACLE_Q_ANTIJOIN),
+    "q_skew_salted_join": (q_skew_salted_join, ORACLE_Q_SKEW),
+    "q_events_sessionize": (q_events_sessionize, ORACLE_Q_SESSIONIZE),
+    "q_events_windowed": (q_events_windowed, ORACLE_Q_WINDOWED),
+    "kg_tordf_customers": (kg_tordf_customers, ORACLE_KG_TORDF),
+    "kg_extract_transcripts": (kg_extract_transcripts, None),
+    "kg_canonize_transcripts": (kg_canonize_transcripts, None),
+    "doc_dedup_exact": (doc_dedup_exact, ORACLE_DOC_DEDUP_EXACT),
+    "doc_dedup_token_jaccard": (doc_dedup_token_jaccard, ORACLE_DOC_JACCARD),
+    "doc_dedup_minhash_lsh": (doc_dedup_minhash_lsh, ORACLE_DOC_MINHASH),
+    "doc_simhash": (doc_simhash, ORACLE_DOC_SIMHASH),
+    "doc_text_stats": (doc_text_stats, ORACLE_DOC_TEXT_STATS),
+    "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
+    "emb_pair_cosine": (emb_pair_cosine, ORACLE_EMB_PAIR),
+    "emb_knn_brute": (emb_knn_brute, ORACLE_EMB_KNN),
+    "emb_centroid_norm": (emb_centroid_norm, ORACLE_EMB_CENTROID),
+    "mm_binary_meta": (mm_binary_meta, ORACLE_MM_META),
+}
