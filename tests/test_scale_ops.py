@@ -1,0 +1,156 @@
+"""Entity linking (broadcast == salted), resumable checkpoints
+(kill-and-rerun byte-identity), incremental ingest (exactly-once)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonld_js_spark.operators.entity_link import (
+    canonicalize_entities,
+    entity_degrees,
+    link_entities,
+    mention_triples,
+)
+from jsonld_js_spark.plans.lineage import (
+    completed_groups,
+    read_output,
+    run_resumable,
+)
+from jsonld_js_spark.sources.entities import entities_df
+from jsonld_js_spark.sources.transcripts import synthesize_transcripts
+from jsonld_js_spark.streaming.incremental import (
+    commit_ingest,
+    incremental_batches,
+)
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = synthesize_transcripts(spark, 25, seed=42).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def entities(spark):
+    return entities_df(spark, 200).cache()
+
+
+def test_entity_linking_finds_hot_surfaces(spark, transcripts, entities):
+    links = link_entities(transcripts, entities).cache()
+    assert links.count() > 0
+    degrees = entity_degrees(links)
+    hot = degrees.orderBy(F.col("degree").desc()).limit(5).collect()
+    # 'spark'/'graph' style surfaces appear in most utterances
+    assert hot[0]["degree"] > 50
+
+
+def test_salted_join_equals_broadcast(spark, transcripts, entities):
+    a = link_entities(transcripts, entities, strategy="broadcast")
+    b = link_entities(transcripts, entities, strategy="salted", n_salt=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_mention_triples_schema(spark, transcripts, entities):
+    links = link_entities(transcripts, entities)
+    tri = mention_triples(links)
+    assert tri.columns == ["graph", "subj", "pred", "obj_kind", "obj_value",
+                           "obj_datatype", "obj_lang"]
+    row = tri.first()
+    assert row["pred"].endswith("#mentions")
+    assert row["obj_value"].startswith("https://example.org/ent/")
+
+
+def test_entity_canonicalization(spark, transcripts, entities):
+    links = link_entities(transcripts, entities)
+    aliases = spark.createDataFrame(
+        [("https://example.org/ent/0", "https://example.org/ent/1")],
+        "alias_id string, canonical_id string")
+    canon = canonicalize_entities(links, aliases)
+    assert canon.filter(F.col("entity_id") == "https://example.org/ent/0").count() == 0
+    # rows for ent/0 moved onto ent/1, deduped per turn
+    before = links.filter(F.col("entity_id").isin(
+        "https://example.org/ent/0", "https://example.org/ent/1")) \
+        .select("conv_id", "turn_idx").distinct().count()
+    after = canon.filter(F.col("entity_id") == "https://example.org/ent/1") \
+        .select("conv_id", "turn_idx").distinct().count()
+    assert after == before
+
+
+def test_resume_after_kill_is_byte_identical(spark, transcripts, tmp_path):
+    full = str(tmp_path / "full")
+    resumed = str(tmp_path / "resumed")
+
+    m_full = run_resumable(transcripts, full, n_groups=8)
+    assert m_full["complete"]
+
+    # "kill" after 3 groups, then rerun to completion
+    m1 = run_resumable(transcripts, resumed, n_groups=8, max_groups=3)
+    assert not m1["complete"] and len(m1["groups_this_run"]) == 3
+    m2 = run_resumable(transcripts, resumed, n_groups=8)
+    assert m2["complete"]
+    # second run must not redo completed groups
+    assert set(m1["groups_this_run"]).isdisjoint(m2["groups_this_run"])
+
+    a = sorted(map(tuple, read_output(spark, full).drop("part_group").collect()))
+    b = sorted(map(tuple, read_output(spark, resumed).drop("part_group").collect()))
+    assert a == b
+    assert m_full["n_triples"] == m2["n_triples"] > 0
+
+    # lineage rows carry per-partition metrics + fingerprints
+    rows = completed_groups(resumed)
+    assert all({"n_turns", "n_triples", "n_warnings", "fingerprint"} <= set(r)
+               for r in rows.values())
+    full_rows = completed_groups(full)
+    assert {g: r["fingerprint"] for g, r in rows.items()} == \
+           {g: r["fingerprint"] for g, r in full_rows.items()}
+
+
+def test_noop_rerun_when_complete(spark, transcripts, tmp_path):
+    out = str(tmp_path / "once")
+    run_resumable(transcripts, out, n_groups=4)
+    m = run_resumable(transcripts, out, n_groups=4)
+    assert m["groups_this_run"] == [] and m["complete"]
+
+
+def test_incremental_ingest_exactly_once(spark, transcripts, tmp_path):
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    os.makedirs(inp)
+    t1 = transcripts.filter(F.col("conv_id") <= "conv-000009")
+    t2 = transcripts.filter(F.col("conv_id") > "conv-000009")
+    t1.toPandas().to_parquet(f"{inp}/batch1.parquet", coerce_timestamps="us")
+
+    df1, new1 = incremental_batches(spark, inp, state)
+    n1 = df1.count()
+    assert n1 > 0 and len(new1) == 1
+    commit_ingest(state, new1)
+
+    # no new files -> nothing to do
+    df_none, new_none = incremental_batches(spark, inp, state)
+    assert df_none is None and new_none == []
+
+    t2.toPandas().to_parquet(f"{inp}/batch2.parquet", coerce_timestamps="us")
+    df2, new2 = incremental_batches(spark, inp, state)
+    n2 = df2.count()
+    assert len(new2) == 1 and n2 > 0
+    commit_ingest(state, new2)
+
+    # union of the two batches == one-shot extraction
+    from jsonld_js_spark.operators.pipeline import extract_triples, triples_only
+    total = triples_only(extract_triples(transcripts)).count()
+    assert n1 + n2 == total
+
+
+def test_structured_streaming_extract(spark, transcripts, tmp_path):
+    inp = str(tmp_path / "stream_in")
+    os.makedirs(inp)
+    transcripts.limit(50).toPandas().to_parquet(f"{inp}/part1.parquet", coerce_timestamps="us")
+    from jsonld_js_spark.streaming.incremental import stream_extract
+    q = (stream_extract(spark, inp)
+         .writeStream.format("memory").queryName("tri_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM tri_stream").collect()[0]["n"]
+    assert got > 0
