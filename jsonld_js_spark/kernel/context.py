@@ -64,10 +64,58 @@ def _resolve_context_url(url: str, options: dict) -> object:
     return doc
 
 
+_PROCESSED_CACHE: dict = {}
+_PROCESSED_CACHE_MAX = 512
+
+
+def _ctx_cache_key(active_ctx, local_ctx, options, override_protected, propagate):
+    """Memo key for processed contexts. Mirrors the reference's
+    resolved-context LRU + per-op cache (lib/ContextResolver.js:26-29,
+    lib/ResolvedContext.js:8-30): the same (active, local) pair is
+    processed once per worker, then shared. Processed contexts are
+    treated as immutable by expansion, so sharing is safe."""
+    import json
+
+    fp = active_ctx.get("_fp", "init")
+    try:
+        local_key = json.dumps(local_ctx, sort_keys=True, default=None)
+    except (TypeError, ValueError):
+        return None
+    loader = options.get("context_loader") or {}
+    return (fp, active_ctx.get("@base"), active_ctx.get("processingMode"),
+            local_key, tuple(sorted(loader.keys())),
+            override_protected, propagate)
+
+
 def process_context(active_ctx: dict, local_ctx, options: dict | None = None, *,
                     override_protected: bool = False, propagate: bool = True,
                     validate_scoped: bool = True, _remote_cycle: frozenset = frozenset()) -> dict:
     """Fold ``local_ctx`` into ``active_ctx``; returns a NEW context."""
+    options = options or {}
+    cache_key = None
+    if not _remote_cycle and options.get("cache_contexts", True):
+        cache_key = _ctx_cache_key(active_ctx, local_ctx, options, override_protected, propagate)
+        if cache_key is not None:
+            hit = _PROCESSED_CACHE.get(cache_key)
+            if hit is not None:
+                return hit
+    rval = _process_context_impl(
+        active_ctx, local_ctx, options,
+        override_protected=override_protected, propagate=propagate,
+        validate_scoped=validate_scoped, _remote_cycle=_remote_cycle)
+    if cache_key is not None and rval is not active_ctx:
+        import hashlib
+
+        rval["_fp"] = hashlib.sha256(repr(cache_key).encode()).hexdigest()[:16]
+        if len(_PROCESSED_CACHE) < _PROCESSED_CACHE_MAX:
+            _PROCESSED_CACHE[cache_key] = rval
+    return rval
+
+
+def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = None, *,
+                          override_protected: bool = False, propagate: bool = True,
+                          validate_scoped: bool = True,
+                          _remote_cycle: frozenset = frozenset()) -> dict:
     options = options or {}
     if local_ctx is None:
         local_ctx = [None]

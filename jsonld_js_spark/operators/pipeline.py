@@ -147,10 +147,18 @@ def extract_triples(transcripts: DataFrame, *, canonicalize: bool = False,
         base_options["context_loader"] = context_loader
     bc = spark.sparkContext.broadcast(base_options)
 
+    cols = ("conv_id", "turn_idx", "kind", "graph", "subj", "pred",
+            "obj_kind", "obj_value", "obj_datatype", "obj_lang")
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         opts = bc.value
         for pdf in batches:
-            out: list[tuple] = []
+            # column-wise accumulation: building pandas from 10 flat
+            # lists is ~5x cheaper than from a list of row tuples, and
+            # this allocation is the per-batch hot path
+            out: tuple[list, ...] = tuple([] for _ in cols)
+            (c_conv, c_turn, c_kind, c_graph, c_subj, c_pred,
+             c_okind, c_oval, c_odt, c_olang) = out
             for conv_id, turn_idx, role, text, tool, ts in zip(
                     pdf["conv_id"], pdf["turn_idx"], pdf["role"],
                     pdf["text"], pdf["tool"], pdf["ts"]):
@@ -158,17 +166,107 @@ def extract_triples(transcripts: DataFrame, *, canonicalize: bool = False,
                 quads, events = turn_to_quads(
                     conv_id, turn_idx, role, text, tool, ts,
                     canonicalize=canonicalize, mode=mode, options=opts)
-                for row in quads_to_rows(quads):
-                    out.append((conv_id, turn_idx, "triple") + row)
+                for graph, subj, pred, okind, oval, odt, olang in quads_to_rows(quads):
+                    c_conv.append(conv_id)
+                    c_turn.append(turn_idx)
+                    c_kind.append("triple")
+                    c_graph.append(graph)
+                    c_subj.append(subj)
+                    c_pred.append(pred)
+                    c_okind.append(okind)
+                    c_oval.append(oval)
+                    c_odt.append(odt)
+                    c_olang.append(olang)
                 for e in events:
-                    out.append((conv_id, turn_idx, "warning", None, None, None,
-                                None, e["code"], e.get("message"), None))
-            yield pd.DataFrame(
-                out, columns=["conv_id", "turn_idx", "kind", "graph", "subj",
-                              "pred", "obj_kind", "obj_value", "obj_datatype",
-                              "obj_lang"])
+                    c_conv.append(conv_id)
+                    c_turn.append(turn_idx)
+                    c_kind.append("warning")
+                    c_graph.append(None)
+                    c_subj.append(None)
+                    c_pred.append(None)
+                    c_okind.append(None)
+                    c_oval.append(e["code"])
+                    c_odt.append(e.get("message"))
+                    c_olang.append(None)
+            yield pd.DataFrame(dict(zip(cols, out)))
 
     return transcripts.mapInPandas(run, schema=TRIPLE_SCHEMA)
+
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# JVM twin of looks_like_jsonld(): shape check + Jackson parse probe
+_JSONLD_SHAPE = r'^\s*[\[{]'
+
+
+def _is_doc_col():
+    shape = F.col("text").rlike(_JSONLD_SHAPE) & (
+        F.col("text").contains("@context") | F.col("text").contains("@id")
+        | F.col("text").contains("@graph") | F.col("text").contains("@type")
+        | F.col("text").contains('"@value"'))
+    parses = F.get_json_object("text", "$").isNotNull()
+    return F.col("text").isNotNull() & shape & parses
+
+
+def _envelope_triples_jvm(plain: DataFrame) -> DataFrame:
+    """Envelope triples for plain turns as pure column algebra — stays
+    inside whole-stage codegen, no Python worker at all. Byte-parity
+    with the kernel path is asserted in tests/test_pipeline.py."""
+    subj = F.concat(F.lit("https://example.org/conv/"), F.col("conv_id"),
+                    F.lit("/turn/"), F.col("turn_idx"))
+    conv_iri = F.concat(F.lit("https://example.org/conv/"), F.col("conv_id"))
+    # python isoformat(): fractional part only when non-zero micros
+    ts_short = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    ts_micro = F.date_format("ts", "SSSSSS")
+    ts_iso = F.when(ts_micro == "000000", ts_short).otherwise(
+        F.concat(ts_short, F.lit("."), ts_micro))
+    null_s = F.lit(None).cast("string")
+
+    def t(pred, kind, value, dt):
+        return F.struct(
+            F.lit("").alias("graph"),
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.lit(kind).alias("obj_kind"),
+            value.alias("obj_value"),
+            (F.lit(dt) if dt else null_s).alias("obj_datatype"),
+            null_s.alias("obj_lang"))
+
+    rows = F.array(
+        t(_RDF_TYPE, "iri", F.lit(V + "Turn"), None),
+        t(V + "conversation", "iri", conv_iri, None),
+        F.when(F.col("role").isNotNull(),
+               t(V + "role", "literal", F.col("role"), _XSD + "string")),
+        t(V + "text", "literal", F.coalesce(F.col("text"), F.lit("")),
+          _XSD + "string"),
+        t(V + "turnIndex", "literal", F.col("turn_idx").cast("string"),
+          _XSD + "integer"),
+        F.when(F.col("ts").isNotNull(),
+               t(V + "ts", "literal", ts_iso, _XSD + "dateTime")),
+    )
+    exploded = (plain.select("conv_id", "turn_idx",
+                             F.explode(F.array_compact(rows)).alias("r"))
+                .select("conv_id", "turn_idx",
+                        F.lit("triple").alias("kind"), "r.*"))
+    return exploded
+
+
+def extract_triples_hybrid(transcripts: DataFrame, *,
+                           context_loader: dict | None = None,
+                           options: dict | None = None) -> DataFrame:
+    """The scale path: plain turns (no embedded doc, no tool payload)
+    emit envelope triples in the JVM; only JSON-LD-document turns and
+    tool turns cross into the Arrow kernel. Same output as
+    ``extract_triples`` (parity-tested), but the common case never
+    leaves whole-stage codegen."""
+    needs_kernel = _is_doc_col() | F.col("tool").isNotNull()
+    plain = transcripts.filter(~needs_kernel)
+    complex_turns = transcripts.filter(needs_kernel)
+    jvm_part = _envelope_triples_jvm(plain)
+    kernel_part = extract_triples(complex_turns, context_loader=context_loader,
+                                  options=options)
+    return jvm_part.unionByName(kernel_part)
 
 
 def triples_only(extracted: DataFrame) -> DataFrame:

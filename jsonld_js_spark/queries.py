@@ -355,6 +355,41 @@ def kg_canonize_transcripts(spark, sf_dir):
     return triples_only(extract_triples(tx, canonicalize=True))
 
 
+
+
+def kg_frame_customers(spark, sf_dir):
+    """Framing as a static join tree (SURVEY §2.8): the frame
+    {"@type": Customer, "nation": {"name": "NATION_3"}} over the
+    triples table = two self-joins (type-filter ⋈ obj==subj ⋈ value
+    pattern) — what the reference does with recursion
+    (lib/frame.js:76-323) the engine does with Catalyst joins.
+    Derived ONLY from the triples table, never the base tables."""
+    tri = kg_tordf_customers(spark, sf_dir).cache()
+    typed = (tri.filter((F.col("pred") == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+                        & (F.col("obj") == KG_V + "Customer"))
+             .select(F.col("subj").alias("cust")))
+    nation_edge = (tri.filter(F.col("pred") == KG_V + "nation")
+                   .select(F.col("subj").alias("cust"), F.col("obj").alias("nation")))
+    nation_name = (tri.filter((F.col("pred") == KG_V + "name")
+                              & (F.col("obj") == "NATION_3"))
+                   .select(F.col("subj").alias("nation")))
+    cust_name = (tri.filter(F.col("pred") == KG_V + "name")
+                 .select(F.col("subj").alias("cust"), F.col("obj").alias("customer_name")))
+    return (typed.join(nation_edge, "cust").join(nation_name, "nation")
+            .join(cust_name, "cust")
+            .select(F.col("cust").alias("customer_iri"), "customer_name",
+                    F.col("nation").alias("nation_iri")))
+
+
+ORACLE_KG_FRAME = """
+SELECT 'https://example.org/kg/customer/' || c_custkey AS customer_iri,
+       c_name AS customer_name,
+       'https://example.org/kg/nation/' || n_nationkey AS nation_iri
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+"""
+
+
 # =====================================================================
 # Training-data operators: dedup / similarity / text / multimodal
 # =====================================================================
@@ -727,6 +762,7 @@ QUERIES = {
     "q_events_sessionize": (q_events_sessionize, ORACLE_Q_SESSIONIZE),
     "q_events_windowed": (q_events_windowed, ORACLE_Q_WINDOWED),
     "kg_tordf_customers": (kg_tordf_customers, ORACLE_KG_TORDF),
+    "kg_frame_customers": (kg_frame_customers, ORACLE_KG_FRAME),
     "kg_extract_transcripts": (kg_extract_transcripts, None),
     "kg_canonize_transcripts": (kg_canonize_transcripts, None),
     "doc_dedup_exact": (doc_dedup_exact, ORACLE_DOC_DEDUP_EXACT),
