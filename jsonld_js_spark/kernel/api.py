@@ -71,16 +71,22 @@ def compact(doc, ctx, options: dict | None = None):
     active_ctx = process_context(active_ctx, ctx, options)
     compacted = _compact.compact(active_ctx, expanded, options)
     if isinstance(compacted, list):
-        if len(compacted) == 1 and options.get("compactArrays", True):
+        # top-level cleanup (lib/jsonld.js:188-199)
+        if options.get("compactArrays", True) and len(compacted) == 1:
             compacted = compacted[0]
+        elif options.get("compactArrays", True) and len(compacted) == 0:
+            compacted = {}
         else:
             graph_alias = _compact.compact_iri(active_ctx, "@graph", vocab=True)
             compacted = {graph_alias: compacted}
-    # attach context
-    if compacted and ctx:
-        ctx_value = ctx.get("@context", ctx) if isinstance(ctx, dict) else ctx
-        if ctx_value:
-            compacted = {"@context": ctx_value, **compacted}
+    # attach context (non-empty contexts only; lib/jsonld.js:203-245)
+    ctx_value = ctx.get("@context", ctx) if isinstance(ctx, dict) else ctx
+    ctx_list = ctx_value if isinstance(ctx_value, list) else [ctx_value]
+    ctx_list = [c for c in ctx_list
+                if not isinstance(c, dict) or len(c) > 0]
+    if ctx_list and isinstance(compacted, dict):
+        attach = ctx_list[0] if len(ctx_list) == 1 else ctx_list
+        compacted = {"@context": attach, **compacted}
     return compacted
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from .constants import is_keyword
 from .context import expand_iri, process_context
 from .errors import syntax_error
-from .iri import remove_base
+from .iri import prepend_base, remove_base
 from .types import (
     is_graph,
     is_list,
@@ -29,27 +29,28 @@ from .types import (
 
 # ------------------------------------------------------- inverse context
 
-def create_inverse_context(active_ctx: dict) -> dict:
-    """container -> type/language -> value -> term, per IRI.
+def _shortest_least(term: str):
+    return (len(term), term)
 
-    Structure: ``inverse[iri][container]['@type'|'@language'|'@any'][key] = term``.
-    Terms are considered shortest-first then lexicographically
-    (lib/context.js:1238-1398).
-    """
-    if "_inverse" in active_ctx and active_ctx["_inverse"] is not None:
+
+def create_inverse_context(active_ctx: dict) -> dict:
+    """Inverse Context Creation (lib/context.js:1238-1398):
+    ``inverse[iri][container]['@language'|'@type'|'@any'][key] = term``
+    with container = sorted @container values joined, terms considered
+    shortest-first then lexicographically least."""
+    if active_ctx.get("_inverse") is not None:
         return active_ctx["_inverse"]
     inverse: dict = {}
-    default_lang = (active_ctx.get("@language") or "@none")
-    default_dir = active_ctx.get("@direction")
-    # sort terms shortest-first, then lexicographically least
-    for term in sorted(active_ctx["mappings"].keys(), key=lambda t: (len(t), t)):
+    default_language = (active_ctx.get("@language") or "@none").lower()
+    default_direction = active_ctx.get("@direction")
+
+    for term in sorted(active_ctx["mappings"].keys(), key=_shortest_least):
         mapping = active_ctx["mappings"][term]
         if mapping is None or mapping.get("@id") is None:
             continue
-        container = "".join(mapping.get("@container", ["@none"]))
+        container = "".join(sorted(mapping.get("@container") or ["@none"]))
         iri = mapping["@id"]
-        container_map = inverse.setdefault(iri, {})
-        entry = container_map.setdefault(
+        entry = inverse.setdefault(iri, {}).setdefault(
             container, {"@language": {}, "@type": {}, "@any": {}})
         entry["@any"].setdefault("@none", term)
         if mapping.get("reverse"):
@@ -61,519 +62,626 @@ def create_inverse_context(active_ctx: dict) -> dict:
         elif "@type" in mapping:
             entry["@type"].setdefault(mapping["@type"], term)
         elif mapping.get("_has_language") and mapping.get("_has_direction"):
-            lang = mapping.get("@language")
-            d = mapping.get("@direction")
-            key = f"{lang}_{d}".lower() if lang and d else (f"_{d}" if d else (lang or "@null"))
-            entry["@language"].setdefault(key, term)
+            lang, direction = mapping.get("@language"), mapping.get("@direction")
+            if lang and direction:
+                entry["@language"].setdefault(f"{lang}_{direction}".lower(), term)
+            elif lang:
+                entry["@language"].setdefault(lang.lower(), term)
+            elif direction:
+                entry["@language"].setdefault(f"_{direction}", term)
+            else:
+                entry["@language"].setdefault("@null", term)
         elif mapping.get("_has_language"):
-            lang = mapping.get("@language")
-            entry["@language"].setdefault((lang or "@null"), term)
+            entry["@language"].setdefault(
+                (mapping.get("@language") or "@null").lower(), term)
         elif mapping.get("_has_direction"):
-            d = mapping.get("@direction")
-            entry["@language"].setdefault(f"_{d}" if d else "@none", term)
-        elif default_dir:
-            entry["@language"].setdefault(f"{default_lang}_{default_dir}".lower(), term)
+            if mapping.get("@direction"):
+                entry["@language"].setdefault(f"_{mapping['@direction']}", term)
+            else:
+                entry["@language"].setdefault("@none", term)
+        elif default_direction:
+            entry["@language"].setdefault(f"_{default_direction}", term)
             entry["@language"].setdefault("@none", term)
             entry["@type"].setdefault("@none", term)
         else:
-            entry["@language"].setdefault(default_lang.lower(), term)
+            entry["@language"].setdefault(default_language, term)
             entry["@language"].setdefault("@none", term)
             entry["@type"].setdefault("@none", term)
     active_ctx["_inverse"] = inverse
     return inverse
 
 
-def _select_term(active_ctx, iri, value, containers, type_or_language, preferred):
+def _select_term(active_ctx, iri, value, containers, type_or_language,
+                 type_or_language_value):
     """Term Selection (lib/compact.js:1085-1145)."""
-    inverse = create_inverse_context(active_ctx)
-    container_map = inverse.get(iri)
-    if not container_map:
-        return None
-    if "@any" not in preferred:
-        preferred = preferred + ["@any"]
+    if type_or_language_value is None:
+        type_or_language_value = "@null"
+    prefs: list[str] = []
+    if type_or_language_value in ("@id", "@reverse") and \
+            isinstance(value, dict) and "@id" in value:
+        if type_or_language_value == "@reverse":
+            prefs.append("@reverse")
+        term = compact_iri(active_ctx, value["@id"], vocab=True)
+        m = active_ctx["mappings"].get(term)
+        if m is not None and m.get("@id") == value["@id"]:
+            prefs += ["@vocab", "@id"]
+        else:
+            prefs += ["@id", "@vocab"]
+    else:
+        prefs.append(type_or_language_value)
+        lang_dir = next((p for p in prefs if "_" in p), None)
+        if lang_dir:
+            prefs.append("_" + lang_dir.split("_", 1)[1])
+    prefs.append("@none")
+
+    container_map = create_inverse_context(active_ctx).get(iri, {})
     for container in containers:
-        entry = container_map.get(container)
-        if entry is None:
+        if container not in container_map:
             continue
-        type_language_value_map = entry[type_or_language]
-        for item in preferred:
-            if item in type_language_value_map:
-                return type_language_value_map[item]
-        if "@none" in entry["@any"] and "@any" in preferred:
-            pass
-    # fall back to @any bucket
-    for container in containers:
-        entry = container_map.get(container)
-        if entry is None:
-            continue
-        for item in preferred:
-            if item in entry["@any"]:
-                return entry["@any"][item]
+        tl_map = container_map[container][type_or_language]
+        for pref in prefs:
+            if pref in tl_map:
+                return tl_map[pref]
     return None
 
 
 # ------------------------------------------------------- IRI compaction
 
+import re as _re
+
+_KEYWORD_SHAPE = _re.compile(r"^@[a-zA-Z]+$")
+
+
 def compact_iri(active_ctx, iri, *, value=None, vocab: bool = False,
                 reverse: bool = False, base: str | None = None) -> str:
-    """IRI Compaction (spec §5.4; lib/compact.js:854-952)."""
+    """IRI Compaction (lib/compact.js:668-952)."""
     if iri is None:
         return iri
+
+    inverse = create_inverse_context(active_ctx)
+
+    # keyword alias shortcut
     if is_keyword(iri):
+        entry = inverse.get(iri, {})
+        none_entry = entry.get("@none", {})
+        alias = none_entry.get("@type", {}).get("@none")
+        if alias is not None:
+            return alias
         return iri
 
-    inverse = create_inverse_context(active_ctx) if vocab else None
     if vocab and iri in inverse:
-        # build preferred values
-        containers = []
-        type_or_language = "@language"
-        preferred = []
-        if isinstance(value, dict) and "@index" in value and not is_graph(value):
+        default_language = (active_ctx.get("@language") or "@none").lower()
+        containers: list[str] = []
+        if isinstance(value, dict) and "@index" in value and "@graph" not in value:
             containers += ["@index", "@index@set"]
+        if isinstance(value, dict) and "@preserve" in value:
+            pv = value["@preserve"]
+            value = pv[0] if isinstance(pv, list) and pv else pv
+
+        if is_graph(value):
+            if "@index" in value:
+                containers += ["@graph@index", "@graph@index@set",
+                               "@index", "@index@set"]
+            if "@id" in value:
+                containers += ["@graph@id", "@graph@id@set"]
+            containers += ["@graph", "@graph@set", "@set"]
+            if "@index" not in value:
+                containers += ["@graph@index", "@graph@index@set",
+                               "@index", "@index@set"]
+            if "@id" not in value:
+                containers += ["@graph@id", "@graph@id@set"]
+        elif isinstance(value, dict) and not is_value(value):
+            containers += ["@id", "@id@set", "@type", "@set@type"]
+
+        type_or_language = "@language"
+        tl_value = "@null"
         if reverse:
             type_or_language = "@type"
-            preferred.append("@reverse")
+            tl_value = "@reverse"
             containers.append("@set")
         elif is_list(value):
             if "@index" not in value:
                 containers.append("@list")
             lst = value["@list"]
-            common_type = common_lang = None if lst else "@none"
-            for item in lst:
-                item_lang, item_type = "@none", "@none"
-                if is_value(item):
-                    if "@direction" in item:
-                        item_lang = f"{item.get('@language','')}_{item['@direction']}".lower()
-                    elif "@language" in item:
-                        item_lang = item["@language"].lower()
-                    elif "@type" in item:
-                        item_type = item["@type"]
+            if len(lst) == 0:
+                type_or_language, tl_value = "@any", "@none"
+            else:
+                common_language = None
+                common_type = None
+                for item in lst:
+                    item_language, item_type = "@none", "@none"
+                    if is_value(item):
+                        if "@direction" in item:
+                            item_language = (f"{(item.get('@language') or '').lower()}"
+                                             f"_{item['@direction']}")
+                        elif "@language" in item:
+                            item_language = item["@language"].lower()
+                        elif "@type" in item:
+                            item_type = item["@type"]
+                        else:
+                            item_language = "@null"
                     else:
-                        item_lang = "@null"
+                        item_type = "@id"
+                    if common_language is None:
+                        common_language = item_language
+                    elif item_language != common_language and is_value(item):
+                        common_language = "@none"
+                    if common_type is None:
+                        common_type = item_type
+                    elif item_type != common_type:
+                        common_type = "@none"
+                    if common_language == "@none" and common_type == "@none":
+                        break
+                common_language = common_language or "@none"
+                common_type = common_type or "@none"
+                if common_type != "@none":
+                    type_or_language, tl_value = "@type", common_type
                 else:
-                    item_type = "@id"
-                common_lang = item_lang if common_lang is None else (
-                    common_lang if common_lang == item_lang else "@none")
-                common_type = item_type if common_type is None else (
-                    common_type if common_type == item_type else "@none")
-                if common_lang == "@none" and common_type == "@none":
-                    break
-            common_lang = common_lang or "@none"
-            common_type = common_type or "@none"
-            if common_type != "@none":
-                type_or_language = "@type"
-                preferred.append(common_type)
-            else:
-                preferred.append(common_lang)
-        elif is_value(value):
-            if "@language" in value and "@index" not in value:
-                containers += ["@language", "@language@set"]
-                lang = value["@language"].lower()
-                if "@direction" in value:
-                    lang = f"{lang}_{value['@direction']}".lower()
-                preferred.append(lang)
-            elif "@direction" in value and "@index" not in value:
-                preferred.append(f"_{value['@direction']}")
-            elif "@type" in value:
-                type_or_language = "@type"
-                preferred.append(value["@type"])
-            else:
-                preferred.append("@null")
+                    tl_value = common_language
         else:
-            type_or_language = "@type"
-            preferred.append("@id")
-            containers += ["@id", "@id@set", "@type", "@set@type"]
-            if is_graph(value):
-                containers = ["@graph", "@graph@set", "@graph@id", "@graph@id@set",
-                              "@graph@index", "@graph@index@set"] + containers
-        containers += ["@set"] if "@set" not in containers else []
+            if is_value(value):
+                if "@language" in value and "@index" not in value:
+                    containers += ["@language", "@language@set"]
+                    tl_value = value["@language"]
+                    if value.get("@direction"):
+                        tl_value = f"{tl_value}_{value['@direction']}"
+                elif "@direction" in value and "@index" not in value:
+                    tl_value = f"_{value['@direction']}"
+                elif "@type" in value:
+                    type_or_language, tl_value = "@type", value["@type"]
+            else:
+                type_or_language, tl_value = "@type", "@id"
+            containers.append("@set")
         containers.append("@none")
         if isinstance(value, dict) and "@index" not in value:
             containers += ["@index", "@index@set"]
         if is_value(value) and len(value) == 1:
             containers += ["@language", "@language@set"]
-        preferred.append("@none")
-        term = _select_term(active_ctx, iri, value, containers, type_or_language, preferred)
+
+        term = _select_term(active_ctx, iri, value, containers,
+                            type_or_language, tl_value)
         if term is not None:
             return term
+        _ = default_language
 
-    if vocab and active_ctx.get("@vocab"):
+    # vocab-suffix fallback
+    if vocab and active_ctx.get("@vocab") is not None:
         v = active_ctx["@vocab"]
         if iri.startswith(v) and iri != v:
             suffix = iri[len(v):]
             if suffix not in active_ctx["mappings"]:
                 return suffix
 
-    # CURIE candidates: shortest eligible
-    candidate = None
-    for term, mapping in active_ctx["mappings"].items():
-        if not mapping or not mapping.get("@id") or not mapping.get("_prefix"):
+    # CURIE candidates: shortest-least usable prefix expansion
+    choice = None
+    for term, m in active_ctx["mappings"].items():
+        if not m or not m.get("_prefix"):
             continue
-        mid = mapping["@id"]
-        if iri.startswith(mid) and len(iri) > len(mid):
-            curie = term + ":" + iri[len(mid):]
-            is_usable = (curie not in active_ctx["mappings"]
-                         or (value is None
-                             and active_ctx["mappings"].get(curie, {}).get("@id") == iri))
-            if is_usable and (candidate is None or (len(curie), curie) < (len(candidate), candidate)):
-                candidate = curie
-    if candidate is not None:
-        return candidate
+        mid = m.get("@id")
+        if not mid or not iri.startswith(mid) or iri == mid:
+            continue
+        curie = term + ":" + iri[len(mid):]
+        usable = (curie not in active_ctx["mappings"]
+                  or (value is None
+                      and (active_ctx["mappings"].get(curie) or {}).get("@id") == iri))
+        if usable and (choice is None
+                       or _shortest_least(curie) < _shortest_least(choice)):
+            choice = curie
+    if choice is not None:
+        return choice
 
-    # guard against 'IRI confused with prefix' (lib/compact.js:915-922)
-    for term, mapping in active_ctx["mappings"].items():
-        if mapping and mapping.get("_prefix") and mapping.get("@id") == iri:
-            raise syntax_error(f"IRI confused with prefix: {iri}",
-                               "IRI confused with prefix")
+    # 'IRI confused with prefix' guard (lib/compact.js:915-922)
+    for term, m in active_ctx["mappings"].items():
+        if m and m.get("_prefix") and iri.startswith(term + ":"):
+            raise syntax_error(
+                f'Absolute IRI "{iri}" confused with prefix "{term}".',
+                "IRI confused with prefix")
 
     if not vocab:
-        return remove_base(base if base is not None else active_ctx.get("@base"), iri)
+        b = active_ctx.get("@base")
+        if b is None:
+            return iri
+        rel = remove_base(prepend_base(base, b) if base else b, iri)
+        return f"./{rel}" if _KEYWORD_SHAPE.match(rel) else rel
     return iri
 
 
 # ------------------------------------------------------- value compaction
 
+def _ctx_value(active_ctx, prop, key):
+    """getContextValue semantics (lib/context.js getContextValue):
+    term-level value if the term defines it, else the context default
+    for @language/@direction, else None."""
+    if prop is not None:
+        m = active_ctx["mappings"].get(prop)
+        if m is not None:
+            if key == "@language" and m.get("_has_language"):
+                return m.get("@language")
+            if key == "@direction" and m.get("_has_direction"):
+                return m.get("@direction")
+            if key in ("@type", "@context", "@index", "@nest") and key in m:
+                return m.get(key)
+            if key == "@container":
+                return m.get("@container")
+    if key == "@language":
+        return active_ctx.get("@language")
+    if key == "@direction":
+        return active_ctx.get("@direction")
+    return None
+
+
+def _add_value(obj, key, value, *, property_is_array=False,
+               value_is_array=False, allow_duplicate=True):
+    """util.addValue parity (lib/util.js:246-298): arrays flatten
+    element-wise unless value_is_array."""
+    if value_is_array:
+        obj[key] = value
+        return
+    if isinstance(value, list):
+        if len(value) == 0 and property_is_array and key not in obj:
+            obj[key] = []
+        for v in value:
+            _add_value(obj, key, v, property_is_array=property_is_array,
+                       allow_duplicate=allow_duplicate)
+        return
+    if key in obj:
+        has = (not allow_duplicate) and any(
+            x == value for x in (obj[key] if isinstance(obj[key], list)
+                                 else [obj[key]]))
+        if not isinstance(obj[key], list) and (not has or property_is_array):
+            obj[key] = [obj[key]]
+        if not has:
+            obj[key].append(value)
+    else:
+        obj[key] = [value] if property_is_array else value
+
+
 def compact_value(active_ctx, active_property, value, options):
-    """Value Compaction (spec §5.5; lib/compact.js:954-1071)."""
-    mapping = active_ctx["mappings"].get(active_property) or {}
+    """Value Compaction (lib/compact.js:954-1071)."""
     if is_value(value):
-        t = mapping.get("@type")
-        lang = mapping.get("@language") if mapping.get("_has_language") \
-            else active_ctx.get("@language")
-        direction = mapping.get("@direction") if mapping.get("_has_direction") \
-            else active_ctx.get("@direction")
+        t = _ctx_value(active_ctx, active_property, "@type")
+        language = _ctx_value(active_ctx, active_property, "@language")
+        direction = _ctx_value(active_ctx, active_property, "@direction")
+        container = _ctx_value(active_ctx, active_property, "@container") or []
 
-        n_members = len(value)
-        preserve_index = "@index" in value and "@index" not in mapping.get("@container", [])
-        if n_members > 2 or (n_members == 2 and not preserve_index):
-            pass  # has extra members beyond @value (+preserved @index)
-        if t == "@json" and value.get("@type") == "@json":
-            return value["@value"]
-        if "@id" in value:
-            pass
-        if not preserve_index and ("@index" in value):
-            preserve_index = True
-        extra = set(value) - {"@value", "@index"}
-        only_indexable = not (set(value) - {"@value", "@index", "@language", "@type", "@direction"})
-        if not only_indexable:
-            return _compact_value_fallback(active_ctx, value, options)
-        if "@index" in value and "@index" not in mapping.get("@container", []):
-            return _compact_value_fallback(active_ctx, value, options)
-        if value.get("@type") is not None and value.get("@type") == t:
-            return value["@value"]
-        if "@language" in value or "@direction" in value:
-            v_lang = value.get("@language")
-            v_dir = value.get("@direction")
-            if v_lang == lang and v_dir == direction and isinstance(value["@value"], str):
+        preserve_index = "@index" in value and "@index" not in container
+
+        if not preserve_index and t != "@none":
+            if value.get("@type") == t and "@type" in value:
                 return value["@value"]
-            return _compact_value_fallback(active_ctx, value, options)
+            if ("@language" in value and value["@language"] == language
+                    and "@direction" in value and value.get("@direction") == direction):
+                return value["@value"]
+            if "@language" in value and value["@language"] == language \
+                    and "@direction" not in value:
+                return value["@value"]
+            if "@direction" in value and value.get("@direction") == direction \
+                    and "@language" not in value:
+                return value["@value"]
+
+        key_count = len(value)
+        is_value_only = key_count == 1 or (
+            key_count == 2 and "@index" in value and not preserve_index)
+        has_default_language = active_ctx.get("@language") is not None
+        is_value_string = isinstance(value["@value"], str)
+        m = active_ctx["mappings"].get(active_property)
+        has_null_mapping = m is not None and m.get("_has_language") \
+            and m.get("@language") is None
+        if is_value_only and t != "@none" and (
+                not has_default_language or not is_value_string or has_null_mapping):
+            return value["@value"]
+
+        rval = {}
+        if preserve_index:
+            rval[compact_iri(active_ctx, "@index", vocab=True)] = value["@index"]
         if "@type" in value:
-            return _compact_value_fallback(active_ctx, value, options)
-        # untyped, no language on value: emit raw if context has no default
-        if isinstance(value["@value"], str) and (lang is not None or direction is not None):
-            return _compact_value_fallback(active_ctx, value, options)
-        _ = extra
-        return value["@value"]
+            rval[compact_iri(active_ctx, "@type", vocab=True)] = \
+                compact_iri(active_ctx, value["@type"], vocab=True)
+        elif "@language" in value:
+            rval[compact_iri(active_ctx, "@language", vocab=True)] = value["@language"]
+        if "@direction" in value:
+            rval[compact_iri(active_ctx, "@direction", vocab=True)] = value["@direction"]
+        rval[compact_iri(active_ctx, "@value", vocab=True)] = value["@value"]
+        return rval
 
-    if is_subject_reference(value):
-        t = mapping.get("@type")
-        compacted = compact_iri(active_ctx, value["@id"],
-                                vocab=(t == "@vocab"), base=options.get("base"))
-        if t in ("@id", "@vocab"):
-            return compacted
-        return {compact_iri(active_ctx, "@id", vocab=True): compacted}
-    return value
-
-
-def _compact_value_fallback(active_ctx, value, options):
-    out = {}
-    for k in value:
-        kk = compact_iri(active_ctx, k, vocab=True)
-        v = value[k]
-        if k == "@type":
-            v = compact_iri(active_ctx, v, vocab=True)
-        elif k == "@id":
-            v = compact_iri(active_ctx, v, base=options.get("base"))
-        out[kk] = v
-    return out
+    # subject reference
+    expanded_property = expand_iri(active_ctx, active_property, vocab=True) \
+        if active_property else None
+    t = _ctx_value(active_ctx, active_property, "@type")
+    compacted = compact_iri(active_ctx, value["@id"], vocab=(t == "@vocab"),
+                            base=options.get("base"))
+    if t in ("@id", "@vocab") or expanded_property == "@graph":
+        return compacted
+    return {compact_iri(active_ctx, "@id", vocab=True): compacted}
 
 
 # ------------------------------------------------------- compaction proper
 
 def compact(active_ctx, element, options: dict | None = None, *,
-            active_property: str | None = None, compaction_map=None):
-    """Compaction Algorithm (spec §5.3; lib/compact.js:56-632)."""
+            active_property: str | None = None):
+    """Compaction Algorithm (lib/compact.js:56-651)."""
     options = options or {}
+    compact_arrays = options.get("compactArrays", True)
 
     if isinstance(element, list):
-        rval = [
-            r for r in (compact(active_ctx, item, options,
-                                active_property=active_property)
-                        for item in element)
-            if r is not None
-        ]
-        if options.get("compactArrays", True) and len(rval) == 1:
-            mapping = active_ctx["mappings"].get(active_property) or {}
-            if not mapping.get("@container"):
+        rval = []
+        for item in element:
+            c = compact(active_ctx, item, options, active_property=active_property)
+            if c is None:
+                continue
+            rval.append(c)
+        if compact_arrays and len(rval) == 1:
+            if not (_ctx_value(active_ctx, active_property, "@container") or []):
                 return rval[0]
         return rval
+
+    # property-scoped context applies before anything else
+    prop_scoped = _ctx_value(active_ctx, active_property, "@context")
+    if prop_scoped is not None:
+        active_ctx = process_context(active_ctx, prop_scoped, options,
+                                     override_protected=True)
 
     if not isinstance(element, dict):
         return element
 
-    # value objects / subject refs compact to scalars where possible
     if is_value(element) or is_subject_reference(element):
-        rval = compact_value(active_ctx, active_property, element, options)
-        if not isinstance(rval, (dict, list)):
-            return rval
-        element_was_value = True
-        if is_value(element):
-            return rval
-        if not isinstance(rval, dict):
-            return rval
-        _ = element_was_value
+        return compact_value(active_ctx, active_property, element, options)
+
+    if is_list(element):
+        container = _ctx_value(active_ctx, active_property, "@container") or []
+        if "@list" in container:
+            return compact(active_ctx, element["@list"], options,
+                           active_property=active_property)
 
     inside_reverse = active_property == "@reverse"
-    mapping = active_ctx["mappings"].get(active_property) or {}
+    rval: dict = {}
+    input_ctx = active_ctx
 
-    # scoped context for the active property
-    if mapping.get("@context") is not None:
-        active_ctx = process_context(active_ctx, mapping["@context"], options,
+    # revert non-propagated context for node objects (lib/compact.js:153-156)
+    from .context import revert_to_previous
+    active_ctx = revert_to_previous(active_ctx)
+    # re-apply property-scoped context after the revert
+    prop_scoped = _ctx_value(input_ctx, active_property, "@context")
+    if prop_scoped is not None:
+        active_ctx = process_context(active_ctx, prop_scoped, options,
                                      override_protected=True)
 
-    # type-scoped contexts
+    # type-scoped contexts in compacted-type sort order (lib/compact.js:182-205)
     types = element.get("@type", [])
     types = types if isinstance(types, list) else [types]
-    compacted_types = sorted(
-        compact_iri(active_ctx, t, vocab=True) for t in types if isinstance(t, str))
-    for ct in compacted_types:
-        m = active_ctx["mappings"].get(ct)
-        if m and m.get("@context") is not None:
-            active_ctx = process_context(active_ctx, m["@context"], options,
+    if len(types) > 1:
+        types = sorted(types)
+    type_context = active_ctx
+    for t in types:
+        if not isinstance(t, str):
+            continue
+        compacted_type = compact_iri(type_context, t, vocab=True)
+        ctx = _ctx_value(input_ctx, compacted_type, "@context")
+        if ctx is not None:
+            active_ctx = process_context(active_ctx, ctx, options,
                                          propagate=False)
 
-    rval: dict = {}
     for expanded_property in sorted(element.keys()):
         expanded_value = element[expanded_property]
 
-        if expanded_property in ("@id",):
-            v = compact_iri(active_ctx, expanded_value, base=options.get("base"))
-            alias = compact_iri(active_ctx, "@id", vocab=True)
-            rval[alias] = v
+        if expanded_property == "@id":
+            vals = expanded_value if isinstance(expanded_value, list) \
+                else [expanded_value]
+            compacted = [compact_iri(active_ctx, v, base=options.get("base"))
+                         for v in vals]
+            if len(compacted) == 1:
+                compacted = compacted[0]
+            rval[compact_iri(active_ctx, "@id", vocab=True)] = compacted
             continue
+
         if expanded_property == "@type":
-            tv = expanded_value if isinstance(expanded_value, list) else [expanded_value]
-            compacted = [compact_iri(active_ctx, t, vocab=True) for t in tv]
+            vals = expanded_value if isinstance(expanded_value, list) \
+                else [expanded_value]
+            # resolve types against the context BEFORE type-scoping
+            compacted = [compact_iri(input_ctx, v, vocab=True) for v in vals]
             if len(compacted) == 1:
                 compacted = compacted[0]
             alias = compact_iri(active_ctx, "@type", vocab=True)
-            as_array = (not options.get("compactArrays", True)) or (
-                "@set" in (active_ctx["mappings"].get(alias) or {}).get("@container", []))
-            if as_array and not isinstance(compacted, list):
-                compacted = [compacted]
-            rval[alias] = compacted
+            container = _ctx_value(active_ctx, alias, "@container") or []
+            type_as_set = "@set" in container and \
+                active_ctx.get("processingMode") != "json-ld-1.0"
+            is_arr = type_as_set or (
+                isinstance(compacted, list) and len(vals) == 0)
+            _add_value(rval, alias, compacted, property_is_array=is_arr)
             continue
+
         if expanded_property == "@reverse":
             compacted = compact(active_ctx, expanded_value, options,
                                 active_property="@reverse")
-            # move reverse-mapped terms up
             for prop in list(compacted.keys()):
                 m = active_ctx["mappings"].get(prop)
                 if m and m.get("reverse"):
-                    value = compacted.pop(prop)
-                    use_array = ("@set" in m.get("@container", [])
-                                 or not options.get("compactArrays", True))
-                    _append(rval, prop, value, use_array)
+                    container = m.get("@container") or []
+                    use_array = "@set" in container or not compact_arrays
+                    _add_value(rval, prop, compacted.pop(prop),
+                               property_is_array=use_array)
             if compacted:
-                alias = compact_iri(active_ctx, "@reverse", vocab=True)
-                rval[alias] = compacted
+                _add_value(rval, compact_iri(active_ctx, "@reverse", vocab=True),
+                           compacted)
             continue
+
         if expanded_property == "@preserve":
             compacted = compact(active_ctx, expanded_value, options,
                                 active_property=active_property)
-            if not (isinstance(compacted, list) and not compacted):
-                rval["@preserve"] = compacted
-            continue
-        if expanded_property == "@index":
-            if "@index" in mapping.get("@container", []):
-                continue
-            alias = compact_iri(active_ctx, "@index", vocab=True)
-            rval[alias] = expanded_value
-            continue
-        if expanded_property in ("@value", "@language", "@direction"):
-            alias = compact_iri(active_ctx, expanded_property, vocab=True)
-            rval[alias] = expanded_value
-            continue
-        if expanded_property == "@included":
-            compacted = compact(active_ctx, expanded_value, options, active_property=None)
-            alias = compact_iri(active_ctx, "@included", vocab=True)
-            rval[alias] = compacted if isinstance(compacted, list) else [compacted]
-            continue
-        if expanded_property == "@graph" and active_property in (None, "@graph"):
-            # top-level @graph
-            compacted = compact(active_ctx, expanded_value, options, active_property=None)
-            alias = compact_iri(active_ctx, "@graph", vocab=True)
-            rval[alias] = compacted if isinstance(compacted, list) else [compacted]
+            if not (isinstance(compacted, list) and len(compacted) == 0):
+                _add_value(rval, "@preserve", compacted)
             continue
 
-        # empty-array property
-        if isinstance(expanded_value, list) and not expanded_value:
+        if expanded_property == "@index":
+            container = _ctx_value(active_ctx, active_property, "@container") or []
+            if "@index" in container:
+                continue
+            _add_value(rval, compact_iri(active_ctx, "@index", vocab=True),
+                       expanded_value)
+            continue
+
+        if expanded_property not in ("@graph", "@list", "@included") and \
+                is_keyword(expanded_property):
+            _add_value(rval, compact_iri(active_ctx, expanded_property, vocab=True),
+                       expanded_value)
+            continue
+
+        if not isinstance(expanded_value, list):
+            raise syntax_error("expanded value must be an array.",
+                               "invalid expanded value")
+
+        if len(expanded_value) == 0:
             item_active_property = compact_iri(
                 active_ctx, expanded_property, value=expanded_value,
                 vocab=True, reverse=inside_reverse)
-            nest = (active_ctx["mappings"].get(item_active_property) or {}).get("@nest")
-            target = _nest_target(active_ctx, rval, nest)
-            _append(target, item_active_property, [], True)
-            continue
+            nest_result = _nest_target(active_ctx, rval,
+                                       (active_ctx["mappings"].get(item_active_property)
+                                        or {}).get("@nest"))
+            _add_value(nest_result, item_active_property, expanded_value,
+                       property_is_array=True)
 
-        for expanded_item in (expanded_value if isinstance(expanded_value, list)
-                              else [expanded_value]):
+        for expanded_item in expanded_value:
             item_active_property = compact_iri(
                 active_ctx, expanded_property, value=expanded_item,
                 vocab=True, reverse=inside_reverse)
-            item_mapping = active_ctx["mappings"].get(item_active_property) or {}
-            nest = item_mapping.get("@nest")
-            target = _nest_target(active_ctx, rval, nest)
-            container = item_mapping.get("@container", [])
+            nest_result = _nest_target(active_ctx, rval,
+                                       (active_ctx["mappings"].get(item_active_property)
+                                        or {}).get("@nest"))
+            container = _ctx_value(active_ctx, item_active_property,
+                                   "@container") or []
 
-            is_graph_item = is_graph(expanded_item)
-            inner = expanded_item
-            if is_list(expanded_item):
+            item_is_graph = is_graph(expanded_item)
+            item_is_list = is_list(expanded_item)
+            if item_is_list:
                 inner = expanded_item["@list"]
-            elif is_graph_item:
+            elif item_is_graph:
                 inner = expanded_item["@graph"]
+            else:
+                inner = expanded_item
+            compacted_item = compact(active_ctx, inner, options,
+                                     active_property=item_active_property)
 
-            compacted_item = compact(
-                active_ctx, inner, options, active_property=item_active_property)
-
-            if is_list(expanded_item):
+            if item_is_list:
                 if not isinstance(compacted_item, list):
                     compacted_item = [compacted_item]
                 if "@list" not in container:
-                    wrapped = {compact_iri(active_ctx, "@list", vocab=True): compacted_item}
+                    wrapped = {compact_iri(active_ctx, "@list", vocab=True):
+                               compacted_item}
                     if "@index" in expanded_item:
                         wrapped[compact_iri(active_ctx, "@index", vocab=True)] = \
                             expanded_item["@index"]
                     compacted_item = wrapped
-                    _append(target, item_active_property, compacted_item, True)
                 else:
-                    target[item_active_property] = compacted_item
-                continue
-
-            if is_graph_item:
-                compacted_item = _recompose_graph(
-                    active_ctx, expanded_item, compacted_item, container,
-                    item_active_property, options)
-                if "@graph" in container and ("@id" in container or "@index" in container):
-                    key = (expanded_item.get("@id") if "@id" in container
-                           else expanded_item.get("@index")) or "@none"
-                    if "@id" in container and "@id" in expanded_item:
-                        key = compact_iri(active_ctx, expanded_item["@id"],
-                                          base=options.get("base"))
-                    m = target.setdefault(item_active_property, {})
-                    _append(m, key, compacted_item, "@set" in container)
+                    _add_value(nest_result, item_active_property, compacted_item,
+                               value_is_array=True, allow_duplicate=True)
                     continue
-                _append(target, item_active_property, compacted_item,
-                        "@set" in container or not options.get("compactArrays", True))
+
+            if item_is_graph:
+                if "@graph" in container and (
+                        "@id" in container or
+                        ("@index" in container and is_simple_graph(expanded_item))):
+                    map_object = nest_result.setdefault(item_active_property, {})
+                    key = (expanded_item.get("@id") if "@id" in container
+                           else expanded_item.get("@index")) or \
+                        compact_iri(active_ctx, "@none", vocab=True)
+                    _add_value(map_object, key, compacted_item,
+                               property_is_array=(not compact_arrays
+                                                  or "@set" in container))
+                elif "@graph" in container and is_simple_graph(expanded_item):
+                    if isinstance(compacted_item, list) and len(compacted_item) > 1:
+                        compacted_item = {"@included": compacted_item}
+                    _add_value(nest_result, item_active_property, compacted_item,
+                               property_is_array=(not compact_arrays
+                                                  or "@set" in container))
+                else:
+                    if isinstance(compacted_item, list) and \
+                            len(compacted_item) == 1 and compact_arrays:
+                        compacted_item = compacted_item[0]
+                    wrapped = {compact_iri(active_ctx, "@graph", vocab=True):
+                               compacted_item}
+                    if "@id" in expanded_item:
+                        wrapped[compact_iri(active_ctx, "@id", vocab=True)] = \
+                            compact_iri(active_ctx, expanded_item["@id"],
+                                        base=options.get("base"))
+                    if "@index" in expanded_item:
+                        wrapped[compact_iri(active_ctx, "@index", vocab=True)] = \
+                            expanded_item["@index"]
+                    _add_value(nest_result, item_active_property, wrapped,
+                               property_is_array=(not compact_arrays
+                                                  or "@set" in container))
                 continue
 
-            if any(c in container for c in ("@language", "@index", "@id", "@type")) \
-                    and "@graph" not in container:
-                m = target.setdefault(item_active_property, {})
+            if any(c in container for c in ("@language", "@index", "@id", "@type")):
+                map_object = nest_result.setdefault(item_active_property, {})
+                key = None
                 if "@language" in container:
-                    key = expanded_item.get("@language", "@none")
-                    if is_value(expanded_item):
-                        compacted_item = expanded_item["@value"]
+                    if is_value(compacted_item):
+                        compacted_item = compacted_item["@value"]
+                    key = expanded_item.get("@language")
                 elif "@index" in container:
-                    index_key = item_mapping.get("@index", "@index")
+                    index_key = _ctx_value(active_ctx, item_active_property,
+                                           "@index") or "@index"
+                    container_key = compact_iri(active_ctx, index_key, vocab=True) \
+                        if index_key != "@index" else \
+                        compact_iri(active_ctx, "@index", vocab=True)
                     if index_key == "@index":
-                        key = expanded_item.get("@index", "@none")
+                        key = expanded_item.get("@index")
                         if isinstance(compacted_item, dict):
-                            compacted_item.pop(
-                                compact_iri(active_ctx, "@index", vocab=True), None)
-                            if len(compacted_item) == 1 and "@id" in expanded_item:
-                                compacted_item = compact(
-                                    active_ctx, {"@id": expanded_item["@id"]},
-                                    options, active_property=item_active_property)
+                            compacted_item.pop(container_key, None)
                     else:
-                        # property-based index
-                        prop_iri = expand_iri(active_ctx, index_key, vocab=True)
-                        key = "@none"
-                        if isinstance(compacted_item, dict):
-                            ckey = compact_iri(active_ctx, prop_iri, vocab=True)
-                            kv = compacted_item.get(ckey)
-                            if isinstance(kv, list) and kv:
-                                key = kv[0] if isinstance(kv[0], str) else "@none"
-                                rest = kv[1:]
-                                if rest:
-                                    compacted_item[ckey] = rest if len(rest) > 1 else rest[0]
-                                else:
-                                    compacted_item.pop(ckey, None)
-                            elif isinstance(kv, str):
-                                key = kv
-                                compacted_item.pop(ckey, None)
-                elif "@id" in container:
-                    idk = compact_iri(active_ctx, "@id", vocab=True)
-                    key = compacted_item.pop(idk, "@none") \
-                        if isinstance(compacted_item, dict) else "@none"
-                else:  # @type
-                    tk = compact_iri(active_ctx, "@type", vocab=True)
-                    key = "@none"
-                    if isinstance(compacted_item, dict):
-                        tv = compacted_item.get(tk)
-                        if isinstance(tv, list) and tv:
-                            key = tv[0]
-                            rest = tv[1:]
-                            if rest:
-                                compacted_item[tk] = rest if len(rest) > 1 else rest[0]
+                        # reference quirk: looks up the RAW index key in the
+                        # compacted item (lib/compact.js:558-584)
+                        kv = compacted_item.get(index_key) \
+                            if isinstance(compacted_item, dict) else None
+                        kvs = kv if isinstance(kv, list) else \
+                            ([] if kv is None else [kv])
+                        key = kvs[0] if kvs else None
+                        others = kvs[1:]
+                        if not isinstance(key, str):
+                            key = None
+                        elif isinstance(compacted_item, dict):
+                            if len(others) == 0:
+                                compacted_item.pop(index_key, None)
+                            elif len(others) == 1:
+                                compacted_item[index_key] = others[0]
                             else:
-                                compacted_item.pop(tk, None)
-                        elif isinstance(tv, str):
-                            key = tv
-                            compacted_item.pop(tk, None)
+                                compacted_item[index_key] = others
+                elif "@id" in container:
+                    id_key = compact_iri(active_ctx, "@id", vocab=True)
+                    if isinstance(compacted_item, dict):
+                        key = compacted_item.pop(id_key, None)
+                elif "@type" in container:
+                    type_key = compact_iri(active_ctx, "@type", vocab=True)
+                    tv = compacted_item.get(type_key) \
+                        if isinstance(compacted_item, dict) else None
+                    tvs = tv if isinstance(tv, list) else \
+                        ([] if tv is None else [tv])
+                    key = tvs[0] if tvs else None
+                    types_rest = tvs[1:]
+                    if isinstance(compacted_item, dict):
+                        if len(types_rest) == 0:
+                            compacted_item.pop(type_key, None)
+                        elif len(types_rest) == 1:
+                            compacted_item[type_key] = types_rest[0]
+                        else:
+                            compacted_item[type_key] = types_rest
                         if len(compacted_item) == 1 and "@id" in expanded_item:
                             compacted_item = compact(
-                                active_ctx,
-                                {"@id": expanded_item["@id"]},
+                                active_ctx, {"@id": expanded_item["@id"]},
                                 options, active_property=item_active_property)
-                if isinstance(key, dict):
-                    key = "@none"
-                _append(m, key, compacted_item, "@set" in container)
+                if not key:
+                    key = compact_iri(active_ctx, "@none", vocab=True)
+                _add_value(map_object, key, compacted_item,
+                           property_is_array="@set" in container)
             else:
-                as_array = (not options.get("compactArrays", True)
-                            or "@set" in container or "@list" in container
-                            or expanded_property in ("@list", "@graph"))
-                _append(target, item_active_property, compacted_item, as_array)
+                is_arr = (not compact_arrays or "@set" in container
+                          or "@list" in container
+                          or (isinstance(compacted_item, list)
+                              and len(compacted_item) == 0)
+                          or expanded_property in ("@list", "@graph"))
+                _add_value(nest_result, item_active_property, compacted_item,
+                           property_is_array=is_arr)
     return rval
-
-
-def idkey_only(d: dict) -> bool:
-    return set(d.keys()) == {"@id"}
-
-
-def _recompose_graph(active_ctx, expanded_item, compacted_item, container,
-                     item_active_property, options):
-    if "@graph" in container and is_simple_graph(expanded_item):
-        if isinstance(compacted_item, list) and len(compacted_item) > 1:
-            compacted_item = {compact_iri(active_ctx, "@included", vocab=True):
-                              compacted_item}
-        if "@index" in expanded_item and "@index" not in container:
-            base = compacted_item if isinstance(compacted_item, dict) else {
-                compact_iri(active_ctx, "@graph", vocab=True): compacted_item}
-            base[compact_iri(active_ctx, "@index", vocab=True)] = expanded_item["@index"]
-            compacted_item = base
-        return compacted_item
-    if "@graph" in container:
-        return compacted_item
-    # re-wrap explicitly
-    wrapped = {compact_iri(active_ctx, "@graph", vocab=True):
-               compacted_item if isinstance(compacted_item, list) else [compacted_item]}
-    if "@id" in expanded_item:
-        wrapped[compact_iri(active_ctx, "@id", vocab=True)] = compact_iri(
-            active_ctx, expanded_item["@id"], base=options.get("base"))
-    if "@index" in expanded_item:
-        wrapped[compact_iri(active_ctx, "@index", vocab=True)] = expanded_item["@index"]
-    return wrapped
 
 
 def _nest_target(active_ctx, rval, nest):
@@ -581,19 +689,6 @@ def _nest_target(active_ctx, rval, nest):
         return rval
     if nest != "@nest" and expand_iri(active_ctx, nest, vocab=True) != "@nest":
         raise syntax_error("@nest term must expand to @nest.", "invalid @nest value")
-    return rval.setdefault(nest, {})
-
-
-def _append(obj, key, value, as_array):
-    if key in obj:
-        existing = obj[key]
-        if not isinstance(existing, list):
-            existing = obj[key] = [existing]
-        if isinstance(value, list):
-            existing.extend(value)
-        else:
-            existing.append(value)
-    else:
-        if as_array and not isinstance(value, list):
-            value = [value]
-        obj[key] = value
+    if not isinstance(rval.get(nest), dict):
+        rval[nest] = {}
+    return rval[nest]

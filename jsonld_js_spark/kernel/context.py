@@ -380,6 +380,14 @@ def create_term_definition(active_ctx: dict, local_ctx: dict, term: str, defined
         if mapping["reverse"] and cset - {"@index", "@set"}:
             raise syntax_error("reverse @container must be @index/@set.", "invalid reverse property")
         mapping["@container"] = sorted(cset)
+        if "@type" in cset:
+            # @type container implies @type:@id default; only @id/@vocab
+            # type mappings are allowed (lib/context.js:838-849)
+            mapping.setdefault("@type", "@id")
+            if mapping["@type"] not in ("@id", "@vocab"):
+                raise syntax_error(
+                    "container: @type requires @type to be @id or @vocab.",
+                    "invalid type mapping")
 
     if "@index" in value:
         conts = mapping.get("@container", [])

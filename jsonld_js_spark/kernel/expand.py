@@ -245,6 +245,9 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
                     rval["@value"] = value
                 continue
             if expanded_property == "@language":
+                if value is None:
+                    # null @language expands as if absent (lib/expand.js:713-716)
+                    continue
                 if not isinstance(value, str):
                     if options.get("frameExpansion") and isinstance(value, (list, dict)):
                         rval["@language"] = value
@@ -323,14 +326,22 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
         elif "@language" in container and isinstance(value, dict):
             expanded_value = _expand_language_map(term_ctx, key, value, options)
         elif "@index" in container and isinstance(value, dict):
-            expanded_value = _expand_index_map(term_ctx, key, value, options,
-                                               index_key=mapping.get("@index", "@index"),
-                                               as_graph="@graph" in container)
+            index_key = mapping.get("@index", "@index")
+            property_index = None
+            if index_key != "@index":
+                property_index = expand_iri(active_ctx, index_key, vocab=True)
+            expanded_value = _expand_index_map(
+                term_ctx, key, value, options, index_key=index_key,
+                as_graph="@graph" in container, property_index=property_index)
         elif "@id" in container and isinstance(value, dict):
-            expanded_value = _expand_id_map(term_ctx, key, value, options,
-                                            as_graph="@graph" in container)
+            expanded_value = _expand_index_map(
+                term_ctx, key, value, options, index_key="@id",
+                as_graph="@graph" in container)
         elif "@type" in container and isinstance(value, dict):
-            expanded_value = _expand_type_map(term_ctx, key, value, options)
+            from .context import revert_to_previous
+            expanded_value = _expand_index_map(
+                revert_to_previous(term_ctx), key, value, options,
+                index_key="@type", as_graph=False)
         else:
             is_list_container = "@list" in container
             e = expand(term_ctx, value, options, active_property=key,
@@ -425,77 +436,62 @@ def _expand_language_map(active_ctx, key, value, options):
     return rval
 
 
-def _expand_index_map(active_ctx, key, value, options, *, index_key, as_graph):
+def _expand_index_map(active_ctx, key, value, options, *, index_key,
+                      as_graph, property_index=None):
+    """Index/id/type map expansion (parity lib/expand.js:1190-1281)."""
     from .context import selected_term_ctx
+
     rval = []
+    is_type_index = index_key == "@type"
     for k in sorted(value.keys()):
         ctx = active_ctx
-        if index_key == "@index":
+        if is_type_index:
             kctx = selected_term_ctx(active_ctx, k)
             if kctx is not None:
-                ctx = process_context(active_ctx, kctx, options)
+                ctx = process_context(active_ctx, kctx, options, propagate=False)
         vals = value[k] if isinstance(value[k], list) else [value[k]]
-        expanded_k = expand_iri(ctx, k, vocab=True)
-        e = expand(ctx, vals, options, active_property=key, inside_list=False)
-        for item in e:
-            if as_graph and not is_graph(item):
-                item = {"@graph": item if isinstance(item, list) else [item]}
-            if index_key == "@index":
-                if expanded_k != "@none" and "@index" not in item and not is_value(item):
-                    item = {**item, "@index": k}
-                elif expanded_k != "@none" and is_value(item) and "@index" not in item:
-                    item = {**item, "@index": k}
+        expanded = expand(ctx, vals, options, active_property=key,
+                          inside_list=False)
+
+        if property_index:
+            if k == "@none":
+                expanded_k = "@none"
             else:
-                # property-valued index (@index: prop)
-                if expanded_k != "@none":
-                    prop_iri = expand_iri(active_ctx, index_key, vocab=True)
-                    iv = _expand_value(active_ctx, index_key, k, options)
-                    item = dict(item)
-                    _add_value(item, prop_iri, iv)
-            rval.append(item)
-    return rval
+                expanded_k = _expand_value(active_ctx, index_key, k, options)
+        else:
+            expanded_k = expand_iri(ctx, k, vocab=True)
 
+        map_key = k
+        if index_key == "@id":
+            map_key = expand_iri(active_ctx, k, base=True)
+        elif is_type_index:
+            map_key = expanded_k
 
-def _expand_id_map(active_ctx, key, value, options, *, as_graph):
-    from .context import selected_term_ctx
-    rval = []
-    for k in sorted(value.keys()):
-        ctx = active_ctx
-        kctx = selected_term_ctx(active_ctx, k)
-        if kctx is not None:
-            ctx = process_context(active_ctx, kctx, options, propagate=False)
-        vals = value[k] if isinstance(value[k], list) else [value[k]]
-        e = expand(ctx, vals, options, active_property=key, inside_list=False)
-        expanded_k = expand_iri(active_ctx, k, base=True)
-        for item in e:
+        for item in expanded:
             if as_graph and not is_graph(item):
                 item = {"@graph": item if isinstance(item, list) else [item]}
-            if expanded_k != "@none":
-                if as_graph:
-                    item = {**item, "@id": expanded_k}
-                elif "@id" not in item:
-                    item = {**item, "@id": expanded_k}
-            rval.append(item)
-    return rval
-
-
-def _expand_type_map(active_ctx, key, value, options):
-    from .context import selected_term_ctx
-    rval = []
-    for k in sorted(value.keys()):
-        ctx = active_ctx
-        kctx = selected_term_ctx(active_ctx, k)
-        if kctx is not None:
-            ctx = process_context(active_ctx, kctx, options, propagate=False)
-        vals = value[k] if isinstance(value[k], list) else [value[k]]
-        e = expand(ctx, vals, options, active_property=key, inside_list=False)
-        expanded_k = expand_iri(active_ctx, k, vocab=True)
-        for item in e:
-            if expanded_k != "@none":
-                item = dict(item)
-                existing = item.get("@type", [])
-                existing = existing if isinstance(existing, list) else [existing]
-                item["@type"] = [expanded_k] + existing
+            if is_type_index:
+                if expanded_k == "@none":
+                    pass
+                elif item.get("@type"):
+                    item = {**item, "@type": [map_key] + item["@type"]}
+                else:
+                    item = {**item, "@type": [map_key]}
+            elif is_value(item) and index_key not in ("@language", "@type",
+                                                      "@index"):
+                raise syntax_error(
+                    f"Attempt to add illegal key to value object: {index_key}.",
+                    "invalid value object")
+            elif property_index:
+                if expanded_k != "@none":
+                    item = dict(item)
+                    existing = item.get(property_index)
+                    prepended = [expanded_k] + (
+                        existing if isinstance(existing, list)
+                        else [existing] if existing is not None else [])
+                    item[property_index] = prepended
+            elif expanded_k != "@none" and index_key not in item:
+                item = {**item, index_key: map_key}
             rval.append(item)
     return rval
 

@@ -71,7 +71,10 @@ def _rdf_to_object(o: dict, use_native_types: bool, rdf_direction: str | None):
 
 def _add_unique(node: dict, key: str, value) -> None:
     arr = node.setdefault(key, [])
-    if value not in arr:
+    # json text comparison keeps bool/int distinct (Python == conflates
+    # True/1, unlike JS ===)
+    sig = json.dumps(value, sort_keys=True)
+    if not any(json.dumps(v, sort_keys=True) == sig for v in arr):
         arr.append(value)
 
 

@@ -68,12 +68,21 @@ def _add_value(obj, key, value, *, property_is_array=False, allow_duplicate=True
         obj[key] = [value] if property_is_array else value
 
 
+def _strict_eq(a, b) -> bool:
+    """JS ===-style scalar equality: True !== 1, 0 !== False (Python's
+    == conflates bool/int, which silently merged boolean values with
+    0/1 integers in node-map dedupe — caught by differential testing)."""
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    return a == b
+
+
 def compare_values(v1, v2) -> bool:
     """Equality over expanded values (parity lib/util.js:376-400)."""
-    if v1 == v2:
+    if type(v1) is type(v2) and not isinstance(v1, dict) and _strict_eq(v1, v2):
         return True
     if is_value(v1) and is_value(v2):
-        return (v1.get("@value") == v2.get("@value")
+        return (_strict_eq(v1.get("@value"), v2.get("@value"))
                 and v1.get("@type") == v2.get("@type")
                 and v1.get("@language") == v2.get("@language")
                 and v1.get("@index") == v2.get("@index"))
