@@ -70,15 +70,19 @@ def compact(doc, ctx, options: dict | None = None):
     active_ctx = initial_context(options)
     active_ctx = process_context(active_ctx, ctx, options)
     compacted = _compact.compact(active_ctx, expanded, options)
-    if isinstance(compacted, list):
-        # top-level cleanup (lib/jsonld.js:188-199)
-        if options.get("compactArrays", True) and len(compacted) == 1:
+    # top-level cleanup (lib/jsonld.js:188-199)
+    use_graph = options.get("graph", False)
+    if options.get("compactArrays", True) and not use_graph \
+            and isinstance(compacted, list):
+        if len(compacted) == 1:
             compacted = compacted[0]
-        elif options.get("compactArrays", True) and len(compacted) == 0:
+        elif len(compacted) == 0:
             compacted = {}
-        else:
-            graph_alias = _compact.compact_iri(active_ctx, "@graph", vocab=True)
-            compacted = {graph_alias: compacted}
+    elif use_graph and isinstance(compacted, dict):
+        compacted = [compacted]
+    if isinstance(compacted, list):
+        graph_alias = _compact.compact_iri(active_ctx, "@graph", vocab=True)
+        compacted = {graph_alias: compacted}
     # attach context (non-empty contexts only; lib/jsonld.js:203-245)
     ctx_value = ctx.get("@context", ctx) if isinstance(ctx, dict) else ctx
     ctx_list = ctx_value if isinstance(ctx_value, list) else [ctx_value]
@@ -102,21 +106,33 @@ def flatten(doc, ctx=None, options: dict | None = None):
 
 def frame(doc, frame_doc, options: dict | None = None):
     """Frame a document (match + embed + defaults), then compact under
-    the frame's context."""
+    the frame's context (parity lib/jsonld.js:414-495)."""
+    from .context import expand_iri, initial_context, process_context
+
     options = _prepare(options)
     options.setdefault("embed", "@once")
+    options.setdefault("omitGraph", True)
+    options.setdefault("pruneBlankNodeIdentifiers", True)
     frame_doc = _parse_input(frame_doc)
     frame_ctx = frame_doc.get("@context", {}) if isinstance(frame_doc, dict) else {}
+
     expanded = expand(doc, options)
     expanded_frame = expand(frame_doc, {**options, "frameExpansion": True,
                                         "keepFreeFloatingNodes": True})
+
+    # frame the default graph iff the frame mentions @graph (jsonld.js:476-479)
+    active_ctx = process_context(initial_context(options), frame_ctx, options)
+    frame_keys = [expand_iri(active_ctx, k, vocab=True)
+                  for k in (frame_doc or {})]
+    options["merged"] = "@graph" not in frame_keys
+
     framed = _frame.frame(expanded, expanded_frame, options)
+
     compacted = compact(framed, frame_ctx,
-                        {**options, "skipExpansion": True, "framing": True})
-    compacted = _frame.cleanup_preserve(compacted)
-    compacted = _frame.cleanup_null(compacted)
-    if isinstance(compacted, dict) and "@context" not in compacted and frame_ctx:
-        compacted = {"@context": frame_ctx, **compacted}
+                        {**options, "skipExpansion": True, "framing": True,
+                         "graph": not options.get("omitGraph", True)})
+    compacted = _frame.cleanup_preserve(compacted, options)
+    compacted = _frame.cleanup_null(compacted, options)
     return compacted
 
 

@@ -145,7 +145,9 @@ def expand(active_ctx: dict, element, options: dict, *,
         elif rval["@value"] is None:
             _warn(options, "null @value value", "Dropping null @value object.")
             return None
-        elif not isinstance(rval["@value"], str) and "@language" in keys:
+        elif not isinstance(rval["@value"], str) and "@language" in keys \
+                and not (options.get("frameExpansion")
+                         and isinstance(rval["@value"], (dict, list))):
             raise syntax_error("@language used on non-string @value.", "invalid language-tagged value")
         elif "@type" in keys and (not is_absolute_iri(rval["@type"]) or rval["@type"].startswith("_:")):
             raise syntax_error("@type of a value object must be an IRI.", "invalid typed value")

@@ -1,180 +1,215 @@
 """Framing: pattern-match query + reshaping over the node map.
 
-W3C JSON-LD 1.1 Framing spec. Parity: /root/reference/lib/frame.js
-(subject filtering 519-637, value patterns 794-826, embed control
-419-439/645-684, @explicit/@requireAll/@default→@preserve 269-295,
-cleanup 694-746, bnode pruning 56-60).
+W3C JSON-LD 1.1 Framing. Behavioral parity:
+/root/reference/lib/frame.js — frameMergedOrDefault :29-70, main loop
+:76-323 (note the per-top-level-match compartmentalization of
+uniqueEmbeds at :103-110), subject filtering :519-637, value patterns
+:794-826, removeEmbed :645-684, cleanupPreserve :694-746.
 
 Spark note (SURVEY §2.8): a frame is a static-depth graph-pattern
-query; the DataFrame operator expresses it as self-joins on the
-triples table. This kernel is the per-document / assembled-JSON form.
+query; the DataFrame operator (queries.kg_frame_customers) expresses
+it as self-joins on the triples table. This kernel is the
+per-document / assembled-JSON form the API exposes.
 """
 
 from __future__ import annotations
 
-from .nodemap import IdentifierIssuer, create_node_map, merge_node_map_graphs
-from .types import is_list, is_subject_reference, is_value
+import copy
+
+from .constants import is_keyword
+from .errors import syntax_error
+from .nodemap import (
+    IdentifierIssuer,
+    compare_values,
+    create_node_map,
+    merge_node_map_graphs,
+)
+from .types import is_list, is_subject, is_subject_reference, is_value
+
+_EMBED_VALUES = ("@always", "@never", "@link", "@first", "@last", "@once")
 
 
-class _FrameState:
-    def __init__(self, options, graph_map):
+class _State:
+    def __init__(self, options):
         self.options = options
-        self.graph_map = graph_map
-        self.graph = "@default"
-        self.graph_stack = []
-        self.subject_stack = []
-        self.link = {}
-        self.bnode_map = {}
         self.embedded = False
-        self.parent = None
-        self.uniq = 0
+        self.graph = "@default"
+        self.graph_map = {"@default": {}}
+        self.subject_stack: list = []
+        self.link: dict = {}
+        self.bnode_map: dict = {}
+        self.unique_embeds: dict = {}
+        self.subjects: dict = {}
+
+    def copy(self, **over):
+        s = _State(self.options)
+        s.__dict__.update(self.__dict__)
+        s.__dict__.update(over)
+        return s
 
 
-def _flags(frame: dict, options: dict) -> dict:
-    def get(name, default):
-        v = frame.get(f"@{name}")
-        if isinstance(v, list):
-            v = v[0] if v else None
-        if isinstance(v, dict) and "@value" in v:
-            v = v["@value"]
-        return default if v is None else v
-    return {
-        "embed": get("embed", options.get("embed", "@once")),
-        "explicit": get("explicit", options.get("explicit", False)),
-        "requireAll": get("requireAll", options.get("requireAll", False)),
-        "omitDefault": get("omitDefault", options.get("omitDefault", False)),
-    }
-
-
-def _node_values(subject: dict, prop: str) -> list:
-    v = subject.get(prop, [])
+def _values(obj, key) -> list:
+    v = obj.get(key)
+    if v is None:
+        return []
     return v if isinstance(v, list) else [v]
+
+
+def _get_flag(frame: dict, options: dict, name: str):
+    key = "@" + name
+    if key in frame:
+        fv = frame[key]
+        rval = fv[0] if isinstance(fv, list) and fv else fv
+        if isinstance(rval, dict) and "@value" in rval:
+            rval = rval["@value"]
+    else:
+        rval = options.get(name)
+    if name == "embed":
+        if rval is True:
+            rval = "@once"
+        elif rval is False:
+            rval = "@never"
+        elif rval not in _EMBED_VALUES:
+            raise syntax_error("invalid value of @embed.", "invalid @embed value")
+    return rval
+
+
+def _validate_frame(frame) -> None:
+    if not (isinstance(frame, list) and len(frame) == 1
+            and isinstance(frame[0], dict)):
+        raise syntax_error("a JSON-LD frame must be a single object.",
+                           "invalid frame")
+    f = frame[0]
+    if "@id" in f:
+        for v in _values(f, "@id"):
+            if isinstance(v, dict) and not v:
+                continue
+            if isinstance(v, str) and not v.startswith("_:"):
+                continue
+            if isinstance(v, str) and v.startswith("_:"):
+                raise syntax_error("invalid @id in frame.", "invalid frame")
+            if not isinstance(v, str):
+                raise syntax_error("invalid @id in frame.", "invalid frame")
+    if "@type" in f:
+        for v in _values(f, "@type"):
+            if isinstance(v, dict) and (not v or "@default" in v):
+                continue
+            if isinstance(v, str) and v.startswith("_:"):
+                raise syntax_error("invalid @type in frame.", "invalid frame")
+            if not isinstance(v, str):
+                raise syntax_error("invalid @type in frame.", "invalid frame")
 
 
 def _value_match(pattern: dict, value: dict) -> bool:
     """@value pattern match (lib/frame.js:794-826)."""
-    v1, t1, l1 = value.get("@value"), value.get("@type"), value.get("@language")
-    v2 = pattern.get("@value")
-    t2 = pattern.get("@type")
-    l2 = pattern.get("@language")
-    if v2 is None and t2 is None and l2 is None:
-        return True
-    def norm(x):
-        return x if isinstance(x, list) else ([] if x is None else [x])
-    v2, t2, l2 = norm(v2), norm(t2), norm(l2)
+    v1 = value.get("@value")
+    t1 = value.get("@type")
+    l1 = value.get("@language")
+    v2 = _values(pattern, "@value")
+    t2 = _values(pattern, "@type")
+    l2 = _values(pattern, "@language")
     if not v2 and not t2 and not l2:
         return True
-    if v2 and not (v1 in v2 or v2 == [{}]):
+    if not (v1 in v2 or (v2 and isinstance(v2[0], dict) and not v2[0])):
+        if v2:
+            return False
+    if v2 and not (v1 in v2 or (isinstance(v2[0], dict) and not v2[0])):
         return False
-    if not v2 and "@value" in pattern and pattern["@value"] == []:
-        return False
-    if t2 and not (t1 in t2 or t2 == [{}]):
-        return False
-    if "@type" in pattern and pattern["@type"] == [] and t1 is not None:
+    if not (t1 in t2 or (t2 and isinstance(t2[0], dict) and not t2[0])) and t2:
         return False
     l1n = l1.lower() if isinstance(l1, str) else l1
     l2n = [x.lower() if isinstance(x, str) else x for x in l2]
-    if l2 and not (l1n in l2n or l2 == [{}]):
-        return False
-    if "@language" in pattern and pattern["@language"] == [] and l1 is not None:
+    if l2 and not (l1n in l2n or (isinstance(l2[0], dict) and not l2[0])):
         return False
     return True
 
 
-def _node_match(state, pattern: dict, value) -> bool:
+def _node_match(state: _State, pattern: dict, value, flags) -> bool:
     if not isinstance(value, dict) or "@id" not in value:
         return False
     node = state.graph_map.get(state.graph, {}).get(value["@id"])
-    return node is not None and _filter_subject(state, node, pattern,
-                                                _flags(pattern, state.options))
+    return node is not None and _filter_subject(state, node, pattern, flags)
 
 
-def _filter_subject(state, subject: dict, frame: dict, flags: dict) -> bool:
+def _filter_subject(state: _State, subject: dict, frame: dict, flags) -> bool:
     """Duck-typed subject match (lib/frame.js:519-637)."""
-    matches_some = False
     wildcard = True
+    matches_some = False
     for key in frame:
-        v = frame[key]
-        is_empty = isinstance(v, list) and len(v) == 0
-        if key.startswith("@") and key not in ("@id", "@type"):
-            continue
-        wildcard = False
+        match_this = False
+        node_values = _values(subject, key)
+        is_empty = len(_values(frame, key)) == 0
+
         if key == "@id":
-            ids = v if isinstance(v, list) else [v]
-            if ids and not (ids == [{}] or any(isinstance(i, dict) for i in ids)):
-                if subject.get("@id") not in ids:
-                    return False
-            matches_some = True
-            continue
-        if key == "@type":
-            stypes = _node_values(subject, "@type")
-            tv = v if isinstance(v, list) else [v]
-            if is_empty:
-                if stypes:
-                    return False
-                matches_some = True
-            elif tv == [{}]:
-                if not stypes:
-                    return False
-                matches_some = True
-            elif tv and all(isinstance(t, dict) and "@default" in t for t in tv):
-                matches_some = True
+            fv = _values(frame, "@id")
+            if fv and isinstance(fv[0], dict) and not fv[0]:
+                match_this = True
             else:
-                if not any(t in tv for t in stypes):
-                    return False
-                matches_some = True
-            continue
-        # property match
-        sv = _node_values(subject, key)
-        frame_vals = v if isinstance(v, list) else [v]
-        pattern = frame_vals[0] if frame_vals else {}
-        has_default = isinstance(pattern, dict) and "@default" in pattern
-        if not sv:
-            if has_default:
-                matches_some = True
-                continue
+                match_this = bool(node_values) and node_values[0] in fv
+            if not flags["requireAll"]:
+                return match_this
+        elif key == "@type":
+            wildcard = False
+            fv = _values(frame, "@type")
             if is_empty:
-                matches_some = True
+                if node_values:
+                    return False
+                match_this = True
+            elif len(fv) == 1 and isinstance(fv[0], dict) and not fv[0]:
+                match_this = len(node_values) > 0
+            else:
+                for t in fv:
+                    if isinstance(t, dict) and "@default" in t:
+                        match_this = True
+                    else:
+                        match_this = match_this or any(tt == t for tt in node_values)
+            if not flags["requireAll"]:
+                return match_this
+        elif is_keyword(key):
+            continue
+        else:
+            fvals = _values(frame, key)
+            this_frame = fvals[0] if fvals else None
+            has_default = False
+            if this_frame is not None:
+                _validate_frame([this_frame] if isinstance(this_frame, dict)
+                                else [{}])
+                has_default = isinstance(this_frame, dict) and "@default" in this_frame
+            wildcard = False
+            if len(node_values) == 0 and has_default:
                 continue
-            if flags["requireAll"]:
+            if node_values and is_empty:
                 return False
-            continue
-        if is_empty:
-            return False  # match-none but present
-        if isinstance(pattern, dict) and not pattern:
-            matches_some = True  # wildcard: property present
-            continue
-        matched_prop = False
-        for item in sv:
-            for p in frame_vals:
-                if not isinstance(p, dict):
-                    matched_prop = matched_prop or item == p
-                elif is_value(item):
-                    matched_prop = matched_prop or _value_match(p, item)
-                elif is_list(item):
-                    ilist = item["@list"]
-                    plist = p.get("@list") if isinstance(p, dict) else None
-                    if plist:
-                        pp = plist[0]
-                        if ilist and isinstance(pp, dict):
-                            if is_value(ilist[0]):
-                                matched_prop = matched_prop or any(
-                                    _value_match(pp, li) for li in ilist)
-                            else:
-                                matched_prop = matched_prop or any(
-                                    _node_match(state, pp, li) for li in ilist)
-                else:
-                    matched_prop = matched_prop or _node_match(state, p, item)
-            if matched_prop:
-                break
-        if matched_prop:
-            matches_some = True
-        elif flags["requireAll"]:
+            if this_frame is None:
+                if node_values:
+                    return False
+                match_this = True
+            elif is_list(this_frame):
+                list_value = (this_frame["@list"] or [None])[0]
+                if node_values and is_list(node_values[0]):
+                    nlv = node_values[0]["@list"]
+                    if is_value(list_value):
+                        match_this = any(_value_match(list_value, lv) for lv in nlv)
+                    elif is_subject(list_value) or is_subject_reference(list_value):
+                        match_this = any(
+                            _node_match(state, list_value, lv, flags) for lv in nlv)
+            elif is_value(this_frame):
+                match_this = any(_value_match(this_frame, nv) for nv in node_values)
+            elif is_subject_reference(this_frame):
+                match_this = any(
+                    _node_match(state, this_frame, nv, flags) for nv in node_values)
+            elif isinstance(this_frame, dict):
+                match_this = len(node_values) > 0
+            else:
+                match_this = False
+
+        if not match_this and flags["requireAll"]:
             return False
+        matches_some = matches_some or match_this
     return wildcard or matches_some
 
 
-def _filter_subjects(state, subjects: list[str], frame: dict, flags: dict) -> dict:
+def _filter_subjects(state: _State, subjects, frame, flags) -> dict:
     rval = {}
     for sid in subjects:
         subject = state.graph_map[state.graph].get(sid)
@@ -183,180 +218,301 @@ def _filter_subjects(state, subjects: list[str], frame: dict, flags: dict) -> di
     return rval
 
 
-def _embed_allowed(state, subject: dict, flags) -> bool:
-    embed = flags["embed"]
-    sid = subject["@id"]
-    if embed == "@never":
-        return False
-    if embed == "@always":
-        return True
-    # @once: embed at the first encounter only
-    if sid in state.uniq_embeds:
-        return False
-    state.uniq_embeds.add(sid)
-    return True
+def _add_value(obj, key, value, *, property_is_array=False):
+    if isinstance(value, list):
+        if key not in obj and property_is_array:
+            obj[key] = []
+        for v in value:
+            _add_value(obj, key, v, property_is_array=property_is_array)
+        return
+    if key in obj:
+        if not isinstance(obj[key], list):
+            obj[key] = [obj[key]]
+        obj[key].append(value)
+    else:
+        obj[key] = [value] if property_is_array else value
+
+
+def _add_frame_output(parent, prop, output) -> None:
+    if isinstance(parent, dict):
+        _add_value(parent, prop, output, property_is_array=True)
+    else:
+        parent.append(output)
+
+
+def _create_implicit_frame(flags) -> list:
+    return [{("@" + k): [v] for k, v in flags.items() if v is not None}]
+
+
+def _creates_circular_reference(subject, graph, subject_stack) -> bool:
+    for entry in reversed(subject_stack):
+        if entry["graph"] == graph and \
+                entry["subject"].get("@id") == subject.get("@id"):
+            return True
+    return False
+
+
+def _remove_embed(state: _State, sid: str) -> None:
+    """lib/frame.js:645-684."""
+    embeds = state.unique_embeds[state.graph]
+    embed = embeds[sid]
+    parent, prop = embed["parent"], embed["property"]
+    subject = {"@id": sid}
+    if isinstance(parent, list):
+        for i, p in enumerate(parent):
+            if compare_values(p, subject):
+                parent[i] = subject
+                break
+    else:
+        use_array = isinstance(parent.get(prop), bool) or \
+            isinstance(parent.get(prop), list)
+        vals = _values(parent, prop)
+        vals = [v for v in vals if not (isinstance(v, dict)
+                                        and v.get("@id") == sid)]
+        vals.append(subject)
+        parent[prop] = vals if use_array else (vals[0] if len(vals) == 1 else vals)
+
+    def remove_dependents(dep_id):
+        for nxt in list(embeds.keys()):
+            if nxt in embeds and isinstance(embeds[nxt]["parent"], dict) and \
+                    embeds[nxt]["parent"].get("@id") == dep_id:
+                del embeds[nxt]
+                remove_dependents(nxt)
+
+    remove_dependents(sid)
+
+
+def _frame(state: _State, subjects, frame, parent, prop=None) -> None:
+    """Main framing loop (lib/frame.js:76-323)."""
+    _validate_frame(frame)
+    frame0 = frame[0]
+    options = state.options
+    flags = {
+        "embed": _get_flag(frame0, options, "embed"),
+        "explicit": _get_flag(frame0, options, "explicit"),
+        "requireAll": _get_flag(frame0, options, "requireAll"),
+    }
+
+    link = state.link.setdefault(state.graph, {})
+    matches = _filter_subjects(state, subjects, frame0, flags)
+
+    for sid in sorted(matches.keys()):
+        subject = matches[sid]
+        # each top-level match is a compartmentalized result
+        if prop is None:
+            state.unique_embeds = {state.graph: {}}
+        else:
+            state.unique_embeds.setdefault(state.graph, {})
+        unique = state.unique_embeds[state.graph]
+
+        if flags["embed"] == "@link" and sid in link:
+            _add_frame_output(parent, prop, link[sid])
+            continue
+
+        output = {"@id": sid}
+        if sid.startswith("_:"):
+            _add_value(state.bnode_map, sid, output, property_is_array=True)
+        link[sid] = output
+
+        if flags["embed"] in ("@first", "@last") and \
+                options.get("is11", True):
+            raise syntax_error("invalid value of @embed.", "invalid @embed value")
+
+        if not state.embedded and sid in unique:
+            continue  # already embedded under another top-level node
+
+        if state.embedded and (
+                flags["embed"] == "@never" or
+                _creates_circular_reference(subject, state.graph,
+                                            state.subject_stack)):
+            _add_frame_output(parent, prop, output)
+            continue
+
+        if state.embedded and flags["embed"] in ("@first", "@once") \
+                and sid in unique:
+            _add_frame_output(parent, prop, output)
+            continue
+
+        if flags["embed"] == "@last" and sid in unique:
+            _remove_embed(state, sid)
+
+        unique[sid] = {"parent": parent, "property": prop}
+        state.subject_stack.append({"subject": subject, "graph": state.graph})
+
+        # subject is also a graph name -> recurse into the graph
+        if sid in state.graph_map:
+            recurse = False
+            subframe = None
+            if "@graph" not in frame0:
+                recurse = state.graph != "@merged"
+                subframe = {}
+            else:
+                gf = frame0["@graph"]
+                subframe = gf[0] if isinstance(gf, list) and gf else {}
+                recurse = sid not in ("@merged", "@default")
+                if not isinstance(subframe, dict):
+                    subframe = {}
+            if recurse:
+                sub_state = state.copy(graph=sid, embedded=False)
+                _frame(sub_state, sorted(state.graph_map[sid].keys()),
+                       [subframe], output, "@graph")
+
+        if "@included" in frame0:
+            _frame(state.copy(embedded=False), subjects, frame0["@included"],
+                   output, "@included")
+
+        for p in sorted(subject.keys()):
+            if is_keyword(p):
+                output[p] = copy.deepcopy(subject[p])
+                if p == "@type":
+                    for t in subject["@type"]:
+                        if isinstance(t, str) and t.startswith("_:"):
+                            _add_value(state.bnode_map, t, output,
+                                       property_is_array=True)
+                continue
+            if flags["explicit"] and p not in frame0:
+                continue
+            for o in subject[p]:
+                subframe = frame0[p] if p in frame0 \
+                    else _create_implicit_frame(flags)
+                if is_list(o):
+                    lf = frame0.get(p)
+                    if lf and isinstance(lf, list) and lf and \
+                            isinstance(lf[0], dict) and lf[0].get("@list"):
+                        list_frame = lf[0]["@list"]
+                    else:
+                        list_frame = _create_implicit_frame(flags)
+                    lst = {"@list": []}
+                    _add_frame_output(output, p, lst)
+                    for oo in o["@list"]:
+                        if is_subject_reference(oo):
+                            _frame(state.copy(embedded=True), [oo["@id"]],
+                                   list_frame, lst, "@list")
+                        else:
+                            _add_frame_output(lst, "@list", copy.deepcopy(oo))
+                elif is_subject_reference(o):
+                    _frame(state.copy(embedded=True), [o["@id"]],
+                           subframe, output, p)
+                else:
+                    sf0 = subframe[0] if isinstance(subframe, list) and subframe \
+                        else {}
+                    if _value_match(sf0 if isinstance(sf0, dict) else {}, o):
+                        _add_frame_output(output, p, copy.deepcopy(o))
+
+        # defaults
+        for p in sorted(frame0.keys()):
+            if p == "@type":
+                fv = _values(frame0, p)
+                if not (fv and isinstance(fv[0], dict) and "@default" in fv[0]):
+                    continue
+            elif is_keyword(p):
+                continue
+            nxt = (_values(frame0, p) or [{}])[0]
+            if not isinstance(nxt, dict):
+                nxt = {}
+            omit = _get_flag(nxt, options, "omitDefault")
+            if not omit and p not in output:
+                preserve = copy.deepcopy(nxt.get("@default", "@null"))
+                if not isinstance(preserve, list):
+                    preserve = [preserve]
+                output[p] = [{"@preserve": preserve}]
+
+        # reverse framing
+        for rprop in sorted((frame0.get("@reverse") or {}).keys()):
+            subframe = frame0["@reverse"][rprop]
+            for subj_id, subj_node in state.subjects.items():
+                if any(isinstance(v, dict) and v.get("@id") == sid
+                       for v in _values(subj_node, rprop)):
+                    rev = output.setdefault("@reverse", {})
+                    rev.setdefault(rprop, [])
+                    _frame(state.copy(embedded=True), [subj_id], subframe,
+                           rev[rprop], prop)
+
+        _add_frame_output(parent, prop, output)
+        state.subject_stack.pop()
 
 
 def frame(expanded_input, expanded_frame, options: dict | None = None) -> list:
-    """Framing Algorithm entry: expanded input + expanded frame -> framed
-    (still-expanded) output; callers compact afterwards."""
+    """frameMergedOrDefault (lib/frame.js:29-70): expanded input +
+    expanded frame -> framed (still-expanded) output."""
     options = dict(options or {})
     options.setdefault("embed", "@once")
+    options.setdefault("explicit", False)
+    options.setdefault("requireAll", False)
+    options.setdefault("omitDefault", False)
+
+    state = _State(options)
     issuer = IdentifierIssuer("_:b")
     graphs = create_node_map(expanded_input, issuer=issuer)
+    state.graph_map = graphs
     if options.get("merged", True):
-        graphs = {"@default": merge_node_map_graphs(graphs), "@merged": {}}
-    state = _FrameState(options, graphs)
-    state.uniq_embeds = set()
+        state.graph_map["@merged"] = merge_node_map_graphs(graphs)
+        state.graph = "@merged"
+    state.subjects = state.graph_map[state.graph]
 
+    framed: list = []
     frames = expanded_frame if isinstance(expanded_frame, list) else [expanded_frame]
-    the_frame = frames[0] if frames else {}
-    flags = _flags(the_frame if isinstance(the_frame, dict) else {}, options)
+    if not frames:
+        frames = [{}]
+    _frame(state, sorted(state.subjects.keys()), frames, framed, None)
 
-    results: list = []
-    subjects = sorted(state.graph_map["@default"].keys())
-    matches = _filter_subjects(state, subjects,
-                               the_frame if isinstance(the_frame, dict) else {}, flags)
-    for sid in sorted(matches.keys()):
-        out = _embed_subject(state, matches[sid],
-                             the_frame if isinstance(the_frame, dict) else {},
-                             flags, set())
-        if out is not None:
-            results.append(out)
     if options.get("pruneBlankNodeIdentifiers", True):
-        results = _prune_bnodes(results)
-    if options.get("omitGraph", True) is False:
-        pass
-    return results
+        options["bnodesToClear"] = [
+            bid for bid, refs in state.bnode_map.items() if len(refs) == 1]
+    else:
+        options["bnodesToClear"] = []
+
+    return _cleanup_preserve(framed, options)
 
 
-def _embed_subject(state, subject: dict, frm: dict, flags, path: frozenset | set):
-    sid = subject["@id"]
-    if sid in path:
-        return {"@id": sid}  # circular reference -> reference only
-    if not _embed_allowed(state, subject, flags):
-        return {"@id": sid}
-    path = set(path) | {sid}
-
-    output: dict = {"@id": sid}
-    explicit = flags["explicit"]
-    for prop in sorted(subject.keys()):
-        if prop == "@id":
-            continue
-        if prop == "@type":
-            output["@type"] = list(subject["@type"])
-            continue
-        if prop.startswith("@"):
-            output[prop] = subject[prop]
-            continue
-        if explicit and prop not in frm:
-            continue
-        sub_frame_vals = frm.get(prop)
-        sub_frame = None
-        if isinstance(sub_frame_vals, list) and sub_frame_vals \
-                and isinstance(sub_frame_vals[0], dict):
-            sub_frame = sub_frame_vals[0]
-        elif isinstance(sub_frame_vals, dict):
-            sub_frame = sub_frame_vals
-        sub_flags = _flags(sub_frame, state.options) if sub_frame else flags
-
-        vals = []
-        for item in _node_values(subject, prop):
-            if is_list(item):
-                inner = []
-                for li in item["@list"]:
-                    if is_subject_reference(li) and li["@id"] in state.graph_map[state.graph]:
-                        node = state.graph_map[state.graph][li["@id"]]
-                        lf = (sub_frame or {}).get("@list", [{}])
-                        lf0 = lf[0] if isinstance(lf, list) and lf else {}
-                        inner.append(_embed_subject(
-                            state, node, lf0 if isinstance(lf0, dict) else {},
-                            sub_flags, path))
-                    else:
-                        inner.append(li)
-                vals.append({"@list": inner})
-            elif is_subject_reference(item) and item["@id"] in state.graph_map[state.graph]:
-                node = state.graph_map[state.graph][item["@id"]]
-                if sub_frame is not None and not _filter_subject(
-                        state, node, sub_frame, sub_flags):
-                    continue
-                vals.append(_embed_subject(state, node,
-                                           sub_frame or {}, sub_flags, path))
-            else:
-                vals.append(item)
-        if vals or not explicit:
-            output[prop] = vals
-
-    # defaults for frame-only properties
-    for prop in sorted(frm.keys()):
-        if prop.startswith("@") or prop in output:
-            continue
-        pf = frm[prop]
-        pf0 = pf[0] if isinstance(pf, list) and pf else pf
-        if isinstance(pf0, dict):
-            p_flags = _flags(pf0, state.options)
-            if p_flags["omitDefault"]:
-                continue
-            default = pf0.get("@default", "@null")
-            if isinstance(default, list) and default:
-                default = default[0]
-            output[prop] = [{"@preserve": [default]}]
-    return output
-
-
-def _prune_bnodes(element):
-    """Remove @id for blank nodes referenced only once (framing spec)."""
-    counts: dict[str, int] = {}
-
-    def count(el):
-        if isinstance(el, list):
-            for x in el:
-                count(x)
-        elif isinstance(el, dict):
-            i = el.get("@id")
-            if isinstance(i, str) and i.startswith("_:"):
-                counts[i] = counts.get(i, 0) + 1
-            for k, v in el.items():
-                if k != "@id":
-                    count(v)
-
-    def prune(el):
-        if isinstance(el, list):
-            return [prune(x) for x in el]
-        if isinstance(el, dict):
-            out = {}
-            for k, v in el.items():
-                if k == "@id" and isinstance(v, str) and v.startswith("_:") \
-                        and counts.get(v, 0) <= 1:
-                    continue
-                out[k] = prune(v)
-            return out
-        return el
-
-    count(element)
-    return prune(element)
-
-
-def cleanup_preserve(element):
-    """Replace @preserve wrappers with their content (lib/frame.js:694-746)."""
+def _cleanup_preserve(element, options):
+    """lib/frame.js:694-746 (expanded-form pass)."""
     if isinstance(element, list):
-        return [cleanup_preserve(x) for x in element]
+        return [_cleanup_preserve(x, options) for x in element]
+    if isinstance(element, dict):
+        if "@preserve" in element:
+            pv = element["@preserve"]
+            return pv[0] if isinstance(pv, list) and pv else pv
+        if is_value(element):
+            return element
+        if is_list(element):
+            return {**element,
+                    "@list": _cleanup_preserve(element["@list"], options)}
+        out = {}
+        for k, v in element.items():
+            if k == "@id" and isinstance(v, str) and \
+                    v in options.get("bnodesToClear", []):
+                continue
+            out[k] = _cleanup_preserve(v, options)
+        return out
+    return element
+
+
+def cleanup_preserve(element, options: dict | None = None):
+    """Post-compaction @preserve unwrap (the compacted form may carry
+    '@preserve' keys from compact())."""
+    if isinstance(element, list):
+        return [cleanup_preserve(x, options) for x in element]
     if isinstance(element, dict):
         if "@preserve" in element:
             inner = element["@preserve"]
             inner = inner[0] if isinstance(inner, list) and len(inner) == 1 else inner
-            return cleanup_preserve(inner)
-        return {k: cleanup_preserve(v) for k, v in element.items()}
+            return cleanup_preserve(inner, options)
+        return {k: cleanup_preserve(v, options) for k, v in element.items()}
     return element
 
 
-def cleanup_null(element):
-    """Drop '@null' placeholders after compaction (lib/frame.js:333)."""
+def cleanup_null(element, options: dict | None = None):
+    """Replace '@null' placeholders with null, drop from arrays
+    (lib/frame.js:333+)."""
     if isinstance(element, list):
-        out = [cleanup_null(x) for x in element]
-        return [x for x in out if x is not None]
+        out = [cleanup_null(x, options) for x in element]
+        out = [x for x in out if x is not None]
+        if len(out) == 1 and (options or {}).get("compactArrays", True):
+            return out[0]
+        return out
     if isinstance(element, dict):
-        return {k: cleanup_null(v) for k, v in element.items()}
+        return {k: cleanup_null(v, options) for k, v in element.items()}
     if element == "@null":
         return None
     return element

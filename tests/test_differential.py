@@ -331,3 +331,123 @@ def test_compact_matches_reference(oracle, doc):
             f"mine={json.dumps(mine, sort_keys=True)}\nref ={json.dumps(ref['result'], sort_keys=True)}"
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference succeeded"
+
+
+FRAME_CASES = [
+    # (doc, frame)
+    (
+        [{"@id": EX + "a", "@type": V + "Person", V + "name": [{"@value": "Alice"}],
+          V + "knows": [{"@id": EX + "b"}]},
+         {"@id": EX + "b", "@type": V + "Person", V + "name": [{"@value": "Bob"}]}],
+        {"@context": {"@vocab": V}, "@type": "Person"},
+    ),
+    (
+        [{"@id": EX + "a", "@type": V + "Library",
+          V + "contains": [{"@id": EX + "b"}]},
+         {"@id": EX + "b", "@type": V + "Book", V + "title": [{"@value": "T"}]}],
+        {"@context": {"@vocab": V}, "@type": "Library",
+         "contains": {"@type": "Book"}},
+    ),
+    (
+        [{"@id": EX + "a", "@type": V + "T", V + "p": [{"@value": "x"}]},
+         {"@id": EX + "b", "@type": V + "T"}],
+        {"@context": {"@vocab": V}, "@type": "T", "p": {"@default": "none"}},
+    ),
+    (
+        [{"@id": EX + "a", V + "p": [{"@value": "x"}], V + "q": [{"@value": "y"}]}],
+        {"@context": {"@vocab": V}, "@explicit": True, "p": {}},
+    ),
+    (
+        [{"@id": EX + "a", "@type": V + "T"},
+         {"@id": EX + "b", "@type": V + "U"}],
+        {"@context": {"@vocab": V}, "@type": ["T", "U"]},
+    ),
+    (
+        [{"@id": EX + "a", V + "link": [{"@id": EX + "b"}]},
+         {"@id": EX + "b", V + "link": [{"@id": EX + "a"}]}],
+        {"@context": {"@vocab": V}, "@id": EX + "a"},
+    ),
+]
+
+
+FRAME_CASES.extend([
+    # @embed @never
+    (
+        [{"@id": EX + "a", "@type": V + "T", V + "p": [{"@id": EX + "b"}]},
+         {"@id": EX + "b", "@type": V + "T", V + "q": [{"@value": "y"}]}],
+        {"@context": {"@vocab": V}, "@type": "T", "@embed": "@never"},
+    ),
+    # @embed @always with shared node
+    (
+        [{"@id": EX + "a", V + "p": [{"@id": EX + "c"}]},
+         {"@id": EX + "b", V + "p": [{"@id": EX + "c"}]},
+         {"@id": EX + "c", V + "val": [{"@value": 1}]}],
+        {"@context": {"@vocab": V}, "@embed": "@always", "p": {}},
+    ),
+    # wildcard frame
+    (
+        [{"@id": EX + "a", V + "p": [{"@value": "x"}]}],
+        {"@context": {"@vocab": V}},
+    ),
+    # value pattern matching
+    (
+        [{"@id": EX + "a", V + "p": [{"@value": "x", "@language": "en"}]},
+         {"@id": EX + "b", V + "p": [{"@value": "y", "@language": "de"}]}],
+        {"@context": {"@vocab": V}, "p": {"@value": {}, "@language": "en"}},
+    ),
+    # list framing
+    (
+        [{"@id": EX + "a", "@type": V + "T",
+          V + "steps": [{"@list": [{"@value": "s1"}, {"@id": EX + "b"}]}]},
+         {"@id": EX + "b", V + "q": [{"@value": "inner"}]}],
+        {"@context": {"@vocab": V}, "@type": "T"},
+    ),
+    # requireAll
+    (
+        [{"@id": EX + "a", "@type": V + "T", V + "p": [{"@value": "1"}]},
+         {"@id": EX + "b", "@type": V + "T"}],
+        {"@context": {"@vocab": V}, "@requireAll": True,
+         "@type": "T", "p": {}},
+    ),
+    # bnode pruning
+    (
+        [{"@id": EX + "a", V + "p": [{"@id": "_:x"}]},
+         {"@id": "_:x", V + "q": [{"@value": "anon"}]}],
+        {"@context": {"@vocab": V}, "@id": EX + "a"},
+    ),
+    # named graph in doc, default-graph framing via @graph in frame
+    (
+        [{"@id": EX + "g", "@graph": [
+            {"@id": EX + "s", "@type": V + "T", V + "p": [{"@value": "v"}]}]},
+         {"@id": EX + "top", "@type": V + "T"}],
+        {"@context": {"@vocab": V}, "@type": "T", "@graph": {}},
+    ),
+    # reverse framing
+    (
+        [{"@id": EX + "a", V + "parentOf": [{"@id": EX + "b"}]},
+         {"@id": EX + "b", "@type": V + "Child"}],
+        {"@context": {"@vocab": V}, "@type": "Child",
+         "@reverse": {V + "parentOf": {}}},
+    ),
+    # @omitDefault
+    (
+        [{"@id": EX + "a", "@type": V + "T"}],
+        {"@context": {"@vocab": V}, "@type": "T",
+         "p": {"@default": "dflt"}, "q": {"@omitDefault": True}},
+    ),
+])
+
+
+@pytest.mark.parametrize("doc,frm", FRAME_CASES,
+                         ids=[f"frame{i}" for i in range(len(FRAME_CASES))])
+def test_frame_matches_reference(oracle, doc, frm):
+    from jsonld_js_spark.kernel import frame as k_frame
+
+    ref = oracle.call("frame", doc=doc, frame=frm)
+    try:
+        mine = k_frame(doc, frm)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), \
+            f"mine={json.dumps(mine, sort_keys=True)}\nref ={json.dumps(ref['result'], sort_keys=True)}"
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference succeeded"
