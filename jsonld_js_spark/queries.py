@@ -457,7 +457,7 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 
 
 _N_MINHASH = 12
-_N_BANDS = 4  # 3 rows per band
+_N_BANDS = 3  # 4 rows per band: selective buckets, fewer false candidates
 
 
 def _hash60(col):
@@ -467,14 +467,24 @@ def _hash60(col):
 
 
 def doc_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(12) + LSH(4 bands x 3): shingle->minhash->band->
-    bucket-join. Candidates = pairs sharing any band signature; output
-    verified with true token Jaccard >= 0.5. This is the scale path:
-    pair space is bounded by bucket collisions, not blocks."""
+    """MinHash(12) + LSH(3 bands x 4): shingle->minhash->band->
+    bucket-join. Docs with IDENTICAL token sets are first collapsed to
+    a min-doc_id representative (exact-dup removal belongs before
+    near-dup search — at scale the hot LSH bucket is exactly the
+    exact-dup class, and collapsing it first turns an O(c^2) bucket
+    blow-up into O(u^2) over unique shapes). Candidates = rep pairs
+    sharing any band signature; output verified with true token
+    Jaccard >= 0.5."""
     d = (load(spark, sf_dir, "documents")
          .select("doc_id", _tokens(F.col("text")).alias("toks"))
          .filter(F.size("toks") > 0))
-    tok = d.select("doc_id", F.explode("toks").alias("t"))
+    from pyspark.sql.window import Window
+    shape = F.md5(F.concat_ws("\x1f", F.array_sort("toks"))).alias("shape")
+    reps = (d.select("doc_id", "toks", shape)
+            .withColumn("rep", F.min("doc_id").over(Window.partitionBy("shape")))
+            .filter(F.col("doc_id") == F.col("rep"))
+            .select("doc_id", "toks"))
+    tok = reps.select("doc_id", F.explode("toks").alias("t"))
     mins = tok.groupBy("doc_id").agg(*[
         F.min(_hash60(F.concat(F.lit(f"s{i}|"), F.col("t")))).alias(f"mh{i}")
         for i in range(_N_MINHASH)])
@@ -497,8 +507,8 @@ def doc_dedup_minhash_lsh(spark, sf_dir):
             .select(F.col("a.doc_id").alias("doc1"),
                     F.col("b.doc_id").alias("doc2"))
             .distinct())
-    da = d.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"))
-    db = d.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2"))
+    da = reps.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"))
+    db = reps.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2"))
     inter = F.size(F.array_intersect("toks1", "toks2"))
     union = F.size(F.array_union("toks1", "toks2"))
     return (cand.join(da, "doc1").join(db, "doc2")
@@ -506,13 +516,21 @@ def doc_dedup_minhash_lsh(spark, sf_dir):
             .filter(F.col("jaccard") >= 0.5))
 
 
-ORACLE_DOC_MINHASH = f"""
-WITH d AS (
+ORACLE_DOC_MINHASH = f'''
+WITH d0 AS (
   SELECT doc_id,
          list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
              AS toks
   FROM documents
   WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+d AS (
+  SELECT doc_id, toks FROM (
+    SELECT doc_id, toks,
+           MIN(doc_id) OVER (
+             PARTITION BY md5(array_to_string(list_sort(toks), chr(31))))
+               AS rep
+    FROM d0)
+  WHERE doc_id = rep),
 tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
 mins AS (
   SELECT doc_id,
@@ -539,7 +557,7 @@ FROM cand JOIN d d1 ON d1.doc_id = doc1 JOIN d d2 ON d2.doc_id = doc2
 WHERE CAST(len(list_intersect(d1.toks, d2.toks)) AS DOUBLE)
       / (len(d1.toks) + len(d2.toks) - len(list_intersect(d1.toks, d2.toks)))
       >= 0.5
-"""
+'''
 
 
 def doc_simhash(spark, sf_dir):
