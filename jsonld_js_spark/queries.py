@@ -761,6 +761,63 @@ FROM documents
 """
 
 
+
+
+def kg_fromrdf_nodes(spark, sf_dir):
+    """The inverse scan (SURVEY §2.6): triples -> assembled JSON-LD
+    nodes via a REAL hash aggregation (groupBy graph + per-graph
+    assembly in operators/fromrdf_ops). Output is the per-subject
+    predicate count — independently reconstructable by the oracle from
+    the base tables."""
+    import json as _json
+
+    from pyspark.sql.types import IntegerType
+
+    from .operators.fromrdf_ops import from_rdf_nodes
+
+    tri = kg_tordf_customers(spark, sf_dir)
+    full = tri.select(
+        F.lit("").alias("graph"), "subj", "pred",
+        F.when(F.col("obj").startswith("http"), F.lit("iri"))
+        .otherwise(F.lit("literal")).alias("obj_kind"),
+        F.col("obj").alias("obj_value"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"))
+    nodes = from_rdf_nodes(full)
+
+    @F.udf(IntegerType())
+    def n_props(node_json):
+        node = _json.loads(node_json)
+        return len([k for k in node if k != "@id"])
+
+    # per-node property count; the UDF only parses the tiny node JSON
+    return nodes.select("subj", n_props("node_json").alias("n_props"))
+
+
+ORACLE_KG_FROMRDF = """
+WITH t AS (
+  SELECT 'https://example.org/kg/customer/' || c_custkey AS subj,
+         4 AS n_props  -- @type, name, segment, nation
+  FROM customer
+  UNION ALL
+  SELECT DISTINCT 'https://example.org/kg/nation/' || n_nationkey, 1
+  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+SELECT subj, n_props FROM t
+"""
+
+
+def emb_knn_lsh(spark, sf_dir):
+    """ANN scale path: banded signed-random-projection LSH + exact
+    re-rank (operators/simsearch.lsh_topk). Rows-only driver check;
+    recall >= 0.5 vs brute force asserted in tests/test_simsearch.py."""
+    from .operators.simsearch import lsh_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return lsh_topk(e, q, k=10, bits=16, bands=8)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -781,6 +838,7 @@ QUERIES = {
     "q_events_windowed": (q_events_windowed, ORACLE_Q_WINDOWED),
     "kg_tordf_customers": (kg_tordf_customers, ORACLE_KG_TORDF),
     "kg_frame_customers": (kg_frame_customers, ORACLE_KG_FRAME),
+    "kg_fromrdf_nodes": (kg_fromrdf_nodes, ORACLE_KG_FROMRDF),
     "kg_extract_transcripts": (kg_extract_transcripts, None),
     "kg_canonize_transcripts": (kg_canonize_transcripts, None),
     "doc_dedup_exact": (doc_dedup_exact, ORACLE_DOC_DEDUP_EXACT),
@@ -791,6 +849,7 @@ QUERIES = {
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "emb_pair_cosine": (emb_pair_cosine, ORACLE_EMB_PAIR),
     "emb_knn_brute": (emb_knn_brute, ORACLE_EMB_KNN),
+    "emb_knn_lsh": (emb_knn_lsh, None),
     "emb_centroid_norm": (emb_centroid_norm, ORACLE_EMB_CENTROID),
     "mm_binary_meta": (mm_binary_meta, ORACLE_MM_META),
 }
