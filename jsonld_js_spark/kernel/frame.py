@@ -502,17 +502,29 @@ def cleanup_preserve(element, options: dict | None = None):
     return element
 
 
+def _js_truthy(v) -> bool:
+    """JS truthiness: 0/false/''/null are falsy; [] and {} are truthy."""
+    if v is None or v is False:
+        return False
+    if isinstance(v, (int, float)) and not isinstance(v, bool) and v == 0:
+        return False
+    if v == "":
+        return False
+    return True
+
+
 def cleanup_null(element, options: dict | None = None):
-    """Replace '@null' placeholders with null, drop from arrays
-    (lib/frame.js:333+)."""
+    """Replace '@null' placeholders with null and filter arrays.
+
+    Parity quirk: the reference filters with JS truthiness
+    (`noNulls.filter(v => v)`, lib/frame.js:337), so 0/false/'' are
+    dropped from framed arrays along with nulls — replicated here.
+    """
     if isinstance(element, list):
         out = [cleanup_null(x, options) for x in element]
-        out = [x for x in out if x is not None]
-        if len(out) == 1 and (options or {}).get("compactArrays", True):
-            return out[0]
-        return out
-    if isinstance(element, dict):
-        return {k: cleanup_null(v, options) for k, v in element.items()}
+        return [x for x in out if _js_truthy(x)]
     if element == "@null":
         return None
+    if isinstance(element, dict):
+        return {k: cleanup_null(v, options) for k, v in element.items()}
     return element

@@ -451,3 +451,87 @@ def test_frame_matches_reference(oracle, doc, frm):
             f"mine={json.dumps(mine, sort_keys=True)}\nref ={json.dumps(ref['result'], sort_keys=True)}"
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference succeeded"
+
+
+def _rand_frame_case(rng: random.Random):
+    """Random doc + frame over a small closed world."""
+    n_nodes = rng.randrange(3, 7)
+    docs = []
+    for i in range(n_nodes):
+        node = {"@id": EX + f"n{i}",
+                "@type": V + f"T{rng.randrange(3)}"}
+        for _ in range(rng.randrange(0, 3)):
+            p = f"p{rng.randrange(3)}"
+            r = rng.random()
+            if r < 0.4:
+                node[V + p] = [{"@id": EX + f"n{rng.randrange(n_nodes)}"}]
+            elif r < 0.7:
+                node[V + p] = [{"@value": f"v{rng.randrange(4)}"}]
+            else:
+                node[V + p] = [{"@list": [{"@value": rng.randrange(3)},
+                                          {"@id": EX + f"n{rng.randrange(n_nodes)}"}]}]
+        docs.append(node)
+    frame = {"@context": {"@vocab": V}}
+    if rng.random() < 0.7:
+        frame["@type"] = f"T{rng.randrange(3)}"
+    if rng.random() < 0.4:
+        frame[f"p{rng.randrange(3)}"] = {}
+    if rng.random() < 0.3:
+        frame["@embed"] = rng.choice(["@once", "@always", "@never"])
+    if rng.random() < 0.2:
+        frame["@explicit"] = True
+    if rng.random() < 0.2:
+        frame["@requireAll"] = True
+    if rng.random() < 0.25:
+        frame[f"p{rng.randrange(3)}"] = {"@default": "dflt"}
+    return docs, frame
+
+
+RANDOM_FRAMES = [_rand_frame_case(random.Random(20_000 + s)) for s in range(80)]
+
+
+@pytest.mark.parametrize("doc,frm", RANDOM_FRAMES,
+                         ids=[f"rframe{i}" for i in range(len(RANDOM_FRAMES))])
+def test_frame_fuzz_matches_reference(oracle, doc, frm):
+    from jsonld_js_spark.kernel import frame as k_frame
+
+    ref = oracle.call("frame", doc=doc, frame=frm)
+    try:
+        mine = k_frame(doc, frm)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), \
+            f"mine={json.dumps(mine, sort_keys=True)}\nref ={json.dumps(ref['result'], sort_keys=True)}"
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference succeeded"
+
+
+NEGATIVE_DOCS = [
+    {"@context": {"a": "@id", "b": "@id"}, "a": EX + "x", "b": EX + "y"},
+    {"@id": 7},
+    {"@context": {"rev": {"@reverse": V + "p"}}, "rev": 5},
+    {EX + "p": {"@value": "v", "@type": "not-absolute"}},
+    {"@context": {"@type": EX + "t"}, EX + "p": "v"},
+    {"@context": {"@version": 2.0}, EX + "p": "v"},
+    {"@context": {"x": {"@id": V + "x", "@container": "@nope"}}, "x": 1},
+    {EX + "p": {"@value": 5, "@language": "en"}},
+    {EX + "p": {"@value": "v", "@id": EX + "x"}},
+    {"@context": {"x": {"@id": V + "x", "@container": "@type",
+                        "@type": V + "custom"}}, "x": {"T": {}}},
+    {"@context": {"t": {"@id": V + "t", "@nest": "@id"}}, "t": "v"},
+    {"@id": EX + "s", "@type": 5},
+    {"@context": {"m": {"@id": V + "m", "@container": "@id"}},
+     "m": {EX + "k": {"@value": "bad"}}},
+]
+
+
+@pytest.mark.parametrize("doc", NEGATIVE_DOCS,
+                         ids=[f"neg{i}" for i in range(len(NEGATIVE_DOCS))])
+def test_negative_error_codes_match(oracle, doc):
+    """Negative-case parity: both sides must reject with the SAME
+    JSON-LD error code (reference comparator: tests/test.js:1209)."""
+    ref = oracle.call("expand", doc=doc)
+    assert not ref["ok"], f"expected reference to reject: {ref}"
+    with pytest.raises(JsonLdError) as exc:
+        k_expand(doc)
+    assert exc.value.code == ref["code"], \
+        f"mine={exc.value.code!r} ref={ref['code']!r}"
