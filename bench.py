@@ -36,6 +36,8 @@ def main() -> None:
     # headline: KG extraction throughput over the transcript corpus
     tx = synthesize_transcripts(spark, n_convs, seed=42).cache()
     n_turns = tx.count()  # materialize input outside the timed region
+    # warmup: python workers + codegen excluded from the timed region
+    triples_only(extract_triples(tx.sample(0.03, seed=1))).count()
     t0 = time.perf_counter()
     n_triples = triples_only(extract_triples(tx)).count()
     extract_sec = time.perf_counter() - t0

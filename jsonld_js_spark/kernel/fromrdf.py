@@ -11,6 +11,7 @@ per-subject-group. This module is the single-dataset form.
 from __future__ import annotations
 
 import json
+import math
 import re
 
 from . import constants as C
@@ -55,15 +56,37 @@ def _rdf_to_object(o: dict, use_native_types: bool, rdf_direction: str | None):
             rval["@direction"] = m.group(2)
             return rval
     if use_native_types:
-        if dt == C.XSD_BOOLEAN and value in ("true", "false"):
-            rval["@value"] = value == "true"
-            return rval
-        if dt == C.XSD_INTEGER and _INT_RE.match(value):
-            rval["@value"] = int(value)
-            return rval
-        if dt == C.XSD_DOUBLE and _DOUBLE_RE.match(value):
-            rval["@value"] = float(value)
-            return rval
+        # conversion rules incl. '1'/'0' booleans, exact integer
+        # round-trip, and @type retained on EVERYTHING non-convertible
+        # — even xsd:string (lib/fromRdf.js:351-377)
+        def numeric(v):
+            try:
+                f = float(v)
+            except ValueError:
+                return None
+            return f if math.isfinite(f) else None
+
+        if dt == C.XSD_BOOLEAN:
+            if value in ("true", "1"):
+                rval["@value"] = True
+            elif value in ("false", "0"):
+                rval["@value"] = False
+            else:
+                rval["@type"] = dt
+        elif dt == C.XSD_INTEGER:
+            if numeric(value) is not None and _INT_RE.match(value.strip()) \
+                    and str(int(value)) == value:
+                rval["@value"] = int(value)
+            else:
+                rval["@type"] = dt
+        elif dt == C.XSD_DOUBLE:
+            if numeric(value) is not None:
+                rval["@value"] = numeric(value)
+            else:
+                rval["@type"] = dt
+        else:
+            rval["@type"] = dt
+        return rval
     if dt != C.XSD_STRING:
         rval["@type"] = dt
     return rval

@@ -535,3 +535,54 @@ def test_negative_error_codes_match(oracle, doc):
         k_expand(doc)
     assert exc.value.code == ref["code"], \
         f"mine={exc.value.code!r} ref={ref['code']!r}"
+
+
+OPTION_CASES = [
+    # (op, doc, options)
+    ("toRDF",
+     {"@context": {"@vocab": V},
+      "p": {"@value": "x", "@language": "ar", "@direction": "rtl"}},
+     {"rdfDirection": "i18n-datatype"}),
+    ("toRDF",
+     {"@id": EX + "s", "_:bnodeprop": "v", V + "p": "w"},
+     {"produceGeneralizedRdf": True}),
+    ("toRDF",
+     {"@context": {"@base": EX + "dir/"}, "@id": "doc",
+      V + "p": {"@id": "other"}},
+     {"base": EX + "dir/index"}),
+    ("expand",
+     {"@id": "relative", V + "p": "v"},
+     {"base": EX + "base/"}),
+    ("expand",
+     {"@context": {"@vocab": V}, "@id": EX + "s",
+      "p": {"@value": "x", "@direction": "ltr"}},
+     {}),
+]
+
+
+@pytest.mark.parametrize("op,doc,opts", OPTION_CASES,
+                         ids=[f"opt{i}" for i in range(len(OPTION_CASES))])
+def test_option_paths_match_reference(oracle, op, doc, opts):
+    from jsonld_js_spark.kernel import to_rdf as k_to_rdf2
+    from jsonld_js_spark.kernel.nquads import serialize
+
+    ref = oracle.call(op, doc=doc, options=opts)
+    assert ref["ok"], ref
+    _ = serialize, k_to_rdf2
+    if op == "expand":
+        mine = k_expand(doc, dict(opts))
+        assert deep_eq(mine, ref["result"])
+    else:
+        from jsonld_js_spark.kernel import to_rdf as _trd
+        mine = _trd(doc, {**opts, "format": "application/n-quads"})
+        assert mine == ref["result"], f"mine={mine!r}\nref={ref['result']!r}"
+
+
+def test_fromrdf_native_types_matches_reference(oracle):
+    quads = k_to_rdf({"@id": EX + "s", V + "i": 42, V + "d": 2.5,
+                      V + "b": True, V + "s": "str"})
+    ref = oracle.call("fromRDF", dataset=quads,
+                      options={"useNativeTypes": True})
+    mine = k_from_rdf(quads, {"useNativeTypes": True})
+    assert ref["ok"], ref
+    assert deep_eq(mine, ref["result"])
