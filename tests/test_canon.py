@@ -133,3 +133,47 @@ def test_nquads_roundtrip():
           f'<http://example.org/s> <{EX}r> "hola"@es .\n'
           f'_:b0 <{EX}s> <http://example.org/o> <http://example.org/g> .\n')
     assert serialize(parse(nq)) == nq
+
+
+import random
+
+
+def _random_bnode_graph(rng: random.Random, n: int) -> str:
+    """Random graph over n bnodes + some IRIs/literals."""
+    lines = []
+    preds = [f"{EX}p{i}" for i in range(3)]
+    for i in range(n):
+        for _ in range(rng.randrange(1, 4)):
+            p = rng.choice(preds)
+            r = rng.random()
+            if r < 0.5:
+                o = f"_:n{rng.randrange(n)}"
+            elif r < 0.75:
+                o = f'"lit{rng.randrange(3)}"'
+            else:
+                o = f"<http://example.org/iri{rng.randrange(3)}>"
+            lines.append(f"_:n{i} <{p}> {o} .")
+    # duplicate-structure pairs to force n-degree ties
+    lines.append(f"_:n0 <{EX}tie> _:n1 .")
+    lines.append(f"_:n1 <{EX}tie> _:n0 .")
+    return "\n".join(sorted(set(lines))) + "\n"
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_canonicalization_invariance_fuzz(seed):
+    """Canonical form is invariant under random relabelings of random
+    graphs (the property the W3C rdf-canon suite checks)."""
+    rng = random.Random(seed)
+    n = rng.randrange(4, 9)
+    nq = _random_bnode_graph(rng, n)
+    base = canon_nq(nq, max_work_factor=3)
+    labels = [f"_:n{i}" for i in range(n)]
+    for _ in range(4):
+        perm = labels[:]
+        rng.shuffle(perm)
+        variant = nq
+        for old, tmp in zip(labels, [f"_:tmp{i}" for i in range(n)]):
+            variant = variant.replace(old + " ", tmp + " ")
+        for tmp, new in zip([f"_:tmp{i}" for i in range(n)], perm):
+            variant = variant.replace(tmp + " ", new + " ")
+        assert canon_nq(variant, max_work_factor=3) == base, f"seed={seed}"

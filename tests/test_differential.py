@@ -586,3 +586,36 @@ def test_fromrdf_native_types_matches_reference(oracle):
     mine = k_from_rdf(quads, {"useNativeTypes": True})
     assert ref["ok"], ref
     assert deep_eq(mine, ref["result"])
+
+
+PRESENTATION_CTXS = [
+    {"@vocab": V, "lst": {"@id": V + "lst", "@container": "@list"},
+     "lmap": {"@id": V + "lmap", "@container": "@language"}},
+    {"v": V, "ex": EX, "t0": {"@id": V + "coerced0", "@type": "@id"}},
+    {"@vocab": V, "everything": {"@id": V + "p0", "@container": "@set"},
+     "@language": "en"},
+    {"@base": EX, "@vocab": V},
+    {"name": {"@id": V + "p1"}, "typed": {"@id": V + "p2",
+                                          "@type": V + "DT"}},
+]
+
+
+@pytest.mark.parametrize("ctx_i", range(len(PRESENTATION_CTXS)),
+                         ids=[f"pctx{i}" for i in range(len(PRESENTATION_CTXS))])
+@pytest.mark.parametrize("doc_i", range(0, len(ALL_DOCS), 7),
+                         ids=[f"pdoc{i}" for i in range(0, len(ALL_DOCS), 7)])
+def test_compact_foreign_context_matches_reference(oracle, doc_i, ctx_i):
+    """Compaction under contexts UNRELATED to the document's own —
+    exercises term selection, CURIEs, base relativization."""
+    from jsonld_js_spark.kernel import compact as k_compact
+
+    doc = ALL_DOCS[doc_i]
+    ctx = PRESENTATION_CTXS[ctx_i]
+    ref = oracle.call("compact", doc=doc, ctx={"@context": ctx})
+    try:
+        mine = k_compact(doc, ctx)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), \
+            f"mine={json.dumps(mine, sort_keys=True)}\nref ={json.dumps(ref['result'], sort_keys=True)}"
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference succeeded"
