@@ -101,7 +101,10 @@ def flatten(doc, ctx=None, options: dict | None = None):
     flattened = _flatten.flatten(expanded)
     if ctx is None:
         return flattened
-    return compact(flattened, ctx, {**options, "skipExpansion": True})
+    # compaction of flattened output forces the @graph wrapper
+    # (lib/jsonld.js:388-391)
+    return compact(flattened, ctx,
+                   {**options, "skipExpansion": True, "graph": True})
 
 
 def frame(doc, frame_doc, options: dict | None = None):
@@ -178,34 +181,55 @@ def canonize(doc, options: dict | None = None) -> str:
     return _canon.canonize(dataset, max_work_factor=options.get("maxWorkFactor", 3))
 
 
-def merge(docs: list, ctx=None, options: dict | None = None):
-    """Merge multiple documents (flatten with per-document bnode
-    relabeling `_:b{i}-`; parity lib/jsonld.js:770-857)."""
+def _relabel_blank_nodes(element, issuer: IdentifierIssuer):
+    """util.relabelBlankNodes parity (lib/util.js:424-445)."""
+    if isinstance(element, list):
+        return [_relabel_blank_nodes(e, issuer) for e in element]
+    if isinstance(element, dict):
+        out = {}
+        for k, v in element.items():
+            if k == "@id" and isinstance(v, str) and v.startswith("_:"):
+                out[k] = issuer.get_id(v)
+            else:
+                out[k] = _relabel_blank_nodes(v, issuer)
+        return out
+    return element
+
+
+def merge(docs: list, ctx=None, options: dict | None = None,
+          *, merge_nodes: bool = True):
+    """Merge multiple documents: per-doc bnode relabel (`_:b{i}-`) ->
+    shared node map with a fresh global issuer -> flattened output
+    (parity lib/jsonld.js:770-857)."""
+    from .nodemap import merge_node_maps
+    from .types import is_subject_reference
+
     options = _prepare(options)
-    graphs = {"@default": {}}
+    issuer = options.get("issuer") or IdentifierIssuer("_:b")
+    graphs: dict = {"@default": {}}
     for i, doc in enumerate(docs):
         expanded = expand(doc, options)
-        issuer = IdentifierIssuer(f"_:b{i}-")
-        g = create_node_map(expanded, issuer=issuer)
-        for name in g:
-            graphs.setdefault(name, {})
-            for sid, node in g[name].items():
-                target = graphs[name].setdefault(sid, {"@id": sid})
-                for prop in sorted(node.keys()):
-                    if prop == "@id":
-                        continue
-                    if prop.startswith("@") and prop != "@type":
-                        target[prop] = node[prop]
-                    else:
-                        from .nodemap import _add_value
-                        _add_value(target, prop, node[prop],
-                                   property_is_array=True, allow_duplicate=False)
-    merged = merge_node_map_graphs(graphs)
-    flattened = [merged[s] for s in sorted(merged.keys())
-                 if not (len(merged[s]) == 1 and "@id" in merged[s])]
+        relabeled = _relabel_blank_nodes(expanded, IdentifierIssuer(f"_:b{i}-"))
+        if merge_nodes or i == 0:
+            target_graphs = graphs
+        else:
+            target_graphs = {"@default": {}}
+        from .nodemap import _create_node_map
+        _create_node_map(relabeled, target_graphs, "@default", issuer, None, None)
+        if target_graphs is not graphs:
+            for graph_name, node_map in target_graphs.items():
+                if graph_name not in graphs:
+                    graphs[graph_name] = node_map
+                    continue
+                for key, node in node_map.items():
+                    graphs[graph_name].setdefault(key, node)
+    default_graph = merge_node_maps(graphs)
+    flattened = [default_graph[k] for k in sorted(default_graph.keys())
+                 if not is_subject_reference(default_graph[k])]
     if ctx is None:
         return flattened
-    return compact(flattened, ctx, {**options, "skipExpansion": True})
+    return compact(flattened, ctx,
+                   {**options, "skipExpansion": True, "graph": True})
 
 
 class JsonLdProcessor:

@@ -32,6 +32,7 @@ rl.on('line', line => {
         case 'compact': result = await jsonld.compact(req.doc, req.ctx, opts); break;
         case 'frame': result = await jsonld.frame(req.doc, req.frame, opts); break;
         case 'fromRDF': result = await jsonld.fromRDF(req.dataset, opts); break;
+        case 'merge': result = await jsonld.merge(req.docs, req.ctx || null, opts); break;
         default: throw new Error('unknown op ' + req.op);
       }
       console.log(JSON.stringify({ok: true, result}));

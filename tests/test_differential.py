@@ -619,3 +619,93 @@ def test_compact_foreign_context_matches_reference(oracle, doc_i, ctx_i):
             f"mine={json.dumps(mine, sort_keys=True)}\nref ={json.dumps(ref['result'], sort_keys=True)}"
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference succeeded"
+
+
+def test_merge_matches_reference(oracle):
+    from jsonld_js_spark.kernel.api import merge as k_merge
+
+    docs = [
+        {"@context": {"@vocab": V}, "@id": EX + "a", "p": "1",
+         "anon": {"q": "x"}},
+        {"@context": {"@vocab": V}, "@id": EX + "a", "p": "1", "r": "2",
+         "anon": {"q": "x"}},
+        {"@context": {"@vocab": V}, "@id": EX + "b", "link": {"@id": EX + "a"}},
+    ]
+    ref = oracle.call("merge", docs=docs)
+    mine = k_merge(docs)
+    assert ref["ok"], ref
+    assert deep_eq(mine, ref["result"]), \
+        f"mine={json.dumps(mine, sort_keys=True)}\nref ={json.dumps(ref['result'], sort_keys=True)}"
+
+
+def test_merge_with_context_matches_reference(oracle):
+    from jsonld_js_spark.kernel.api import merge as k_merge
+
+    docs = [{"@context": {"@vocab": V}, "@id": EX + "a", "p": "1"},
+            {"@context": {"@vocab": V}, "@id": EX + "c", "p": "3"}]
+    ctx = {"@vocab": V}
+    ref = oracle.call("merge", docs=docs, ctx={"@context": ctx})
+    mine = k_merge(docs, ctx)
+    assert ref["ok"], ref
+    assert deep_eq(mine, ref["result"])
+
+
+@pytest.mark.parametrize("doc_i", range(0, len(ALL_DOCS), 11),
+                         ids=[f"fl{i}" for i in range(0, len(ALL_DOCS), 11)])
+def test_flatten_with_ctx_matches_reference(oracle, doc_i):
+    from jsonld_js_spark.kernel import flatten as k_flatten2
+
+    doc = ALL_DOCS[doc_i]
+    ctx = _ctx_of(doc) or {"@vocab": V}
+    ref = oracle.call("flatten", doc=doc, ctx={"@context": ctx})
+    try:
+        mine = k_flatten2(doc, ctx)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), \
+            f"mine={json.dumps(mine, sort_keys=True)}\nref ={json.dumps(ref['result'], sort_keys=True)}"
+    except JsonLdError:
+        assert not ref["ok"]
+
+
+@pytest.mark.parametrize("doc_i", range(0, len(ALL_DOCS), 13),
+                         ids=[f"nca{i}" for i in range(0, len(ALL_DOCS), 13)])
+def test_compact_no_compact_arrays(oracle, doc_i):
+    from jsonld_js_spark.kernel import compact as k_compact
+
+    doc = ALL_DOCS[doc_i]
+    ctx = _ctx_of(doc) or {"@vocab": V}
+    ref = oracle.call("compact", doc=doc, ctx={"@context": ctx},
+                      options={"compactArrays": False})
+    try:
+        mine = k_compact(doc, ctx, {"compactArrays": False})
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), \
+            f"mine={json.dumps(mine, sort_keys=True)}\nref ={json.dumps(ref['result'], sort_keys=True)}"
+    except JsonLdError:
+        assert not ref["ok"]
+
+
+def test_frame_omit_graph_false(oracle):
+    from jsonld_js_spark.kernel import frame as k_frame
+
+    doc = [{"@id": EX + "a", "@type": V + "T", V + "p": [{"@value": "x"}]}]
+    frm = {"@context": {"@vocab": V}, "@type": "T"}
+    ref = oracle.call("frame", doc=doc, frame=frm,
+                      options={"omitGraph": False})
+    mine = k_frame(doc, frm, {"omitGraph": False})
+    assert ref["ok"], ref
+    assert deep_eq(mine, ref["result"]), \
+        f"mine={json.dumps(mine, sort_keys=True)}\nref ={json.dumps(ref['result'], sort_keys=True)}"
+
+
+def test_frame_embed_always_option(oracle):
+    from jsonld_js_spark.kernel import frame as k_frame
+
+    doc = [{"@id": EX + "a", V + "p": [{"@id": EX + "c"}]},
+           {"@id": EX + "b", V + "p": [{"@id": EX + "c"}]},
+           {"@id": EX + "c", V + "v": [{"@value": 1}]}]
+    frm = {"@context": {"@vocab": V}, "p": {}}
+    ref = oracle.call("frame", doc=doc, frame=frm, options={"embed": "@always"})
+    mine = k_frame(doc, frm, {"embed": "@always"})
+    assert ref["ok"], ref
+    assert deep_eq(mine, ref["result"])

@@ -129,8 +129,8 @@ def test_flatten_with_context_compacts():
     doc = {"@id": EX + "a", EX + "knows": {"@id": EX + "b"}}
     out = flatten(doc, ctx)
     assert out["@context"] == ctx
-    # single full node -> compactArrays collapses, no @graph wrapper
-    assert out["knows"] == {"@id": EX + "b"}
+    # flatten-with-context always wraps in @graph (lib/jsonld.js:388-391)
+    assert out["@graph"] == [{"@id": EX + "a", "knows": {"@id": EX + "b"}}]
 
 
 # --- compact -----------------------------------------------------------------
