@@ -71,7 +71,7 @@ _WSO = r"[ \t]*"
 _QUAD_RE = re.compile(
     rf"^{_WSO}(?:{_IRI}|{_BNODE}){_WS}{_IRI}{_WS}"
     rf"(?:{_IRI}|{_BNODE}|{_LITERAL}){_WSO}"
-    rf"(?:(?:{_IRI}|{_BNODE}){_WSO})?\.{_WSO}$"
+    rf"(?:(?:{_IRI}|{_BNODE}){_WSO})?\.{_WSO}(?:#.*)?$"
 )
 _EMPTY_RE = re.compile(r"^[ \t]*(?:#.*)?$")
 
