@@ -162,21 +162,33 @@ def expand(active_ctx: dict, element, options: dict, *,
             if not isinstance(rval, (list, dict)) and rval is not None:
                 return rval
     elif isinstance(rval, dict) and len(rval) == 1 and "@language" in rval:
-        _warn(options, "free-floating scalar", "Dropping object with only @language.")
+        _warn(options, "object with only @language",
+              "Dropping object with only @language.")
         return None
 
-    # drop free-floating unsafe objects
+    # drop free-floating unsafe objects; event codes match the
+    # reference's _dropUnsafeObject vocabulary (lib/expand.js:396-437)
     if isinstance(rval, dict):
         count = len(rval)
         if active_property is None or active_property == "@graph":
             if count == 0 or "@value" in rval or "@list" in rval:
                 if count:
-                    _warn(options, "free-floating scalar",
-                          "Dropping free-floating value/list object.")
+                    if "@list" in rval:
+                        # the reference reports inner droppable value
+                        # objects before the list itself
+                        for item in rval.get("@list", []):
+                            if is_value(item) and len(item) == 1:
+                                _warn(options, "object with only @value",
+                                      "Dropping object with only @value.")
+                        _warn(options, "object with only @list",
+                              "Dropping object with only @list.")
+                    else:
+                        _warn(options, "object with only @value",
+                              "Dropping object with only @value.")
                 return None
             if count == 1 and "@id" in rval and not options.get("frameExpansion"):
-                _warn(options, "free-floating reference",
-                      "Dropping free-floating subject reference.")
+                _warn(options, "object with only @id",
+                      "Dropping object with only @id.")
                 return None
     return rval
 
@@ -213,9 +225,13 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
 
             if expanded_property == "@id":
                 if isinstance(value, str):
-                    _add_value(rval, "@id",
-                               expand_iri(active_ctx, value, base=True),
-                               as_array=False)
+                    expanded_id = expand_iri(active_ctx, value, base=True)
+                    if isinstance(expanded_id, str) and \
+                            not expanded_id.startswith("_:") and \
+                            not is_absolute_iri(expanded_id):
+                        _warn(options, "relative @id reference",
+                              f"Relative @id reference found: {expanded_id}")
+                    _add_value(rval, "@id", expanded_id, as_array=False)
                 elif options.get("frameExpansion") and (
                         isinstance(value, dict) and not value or isinstance(value, list)):
                     rval["@id"] = value if isinstance(value, list) else []
@@ -293,8 +309,8 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
                 nests.append(key)
                 continue
             if expanded_property == "@list":
-                if active_property is None or active_property == "@graph":
-                    continue  # free-floating list: ignore
+                # free-floating lists still expand; the post-processing
+                # drop emits 'object with only @list' (lib/expand.js:88-111)
                 e = expand(active_ctx, value, options, active_property=active_property,
                            inside_list=True)
                 rval["@list"] = e if isinstance(e, list) else [e]

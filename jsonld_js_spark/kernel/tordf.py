@@ -65,6 +65,11 @@ def _term_for_id(iri: str) -> dict:
     return blank_node(iri) if iri.startswith("_:") else named_node(iri)
 
 
+def _warn(options, code, message):
+    events = options.setdefault("events", []) if isinstance(options, dict) else []
+    events.append({"code": code, "level": "warning", "message": message})
+
+
 def to_rdf(expanded, options: dict | None = None) -> list[dict]:
     """Expanded JSON-LD -> list of quads (RDF/JS-shaped dicts)."""
     options = options or {}
@@ -79,7 +84,10 @@ def to_rdf(expanded, options: dict | None = None) -> list[dict]:
         elif is_absolute_iri(graph_name):
             graph_term = named_node(graph_name)
         else:
-            continue  # skip relative graph names (lib/toRdf.js:65-84)
+            # skip relative graph names (lib/toRdf.js:65-84)
+            _warn(options, "relative graph reference",
+                  f"Relative graph reference found: {graph_name}")
+            continue
         _graph_to_rdf(dataset, graphs[graph_name], graph_term, issuer, options)
     return dataset
 
@@ -98,13 +106,22 @@ def _graph_to_rdf(dataset, graph: dict, graph_term: dict, issuer, options):
             else:
                 items = node[prop]
                 if prop.startswith("_:") and not options.get("produceGeneralizedRdf"):
-                    continue  # bnode predicates skipped (lib/toRdf.js:161-180)
+                    # bnode predicates skipped (lib/toRdf.js:161-180)
+                    _warn(options, "blank node predicate",
+                          f"Dropping blank node predicate: {prop}")
+                    continue
                 if not (is_absolute_iri(prop) or prop.startswith("_:")):
-                    continue  # relative predicate dropped (lib/toRdf.js:141-158)
+                    # relative predicate dropped (lib/toRdf.js:141-158)
+                    _warn(options, "relative predicate reference",
+                          f"Relative predicate reference found: {prop}")
+                    continue
                 predicate = _term_for_id(prop)
 
             if not (sid.startswith("_:") or is_absolute_iri(sid)):
-                continue  # relative subject dropped (lib/toRdf.js:119-136)
+                # relative subject dropped (lib/toRdf.js:119-136)
+                _warn(options, "relative subject reference",
+                      f"Relative subject reference found: {sid}")
+                continue
             subject = _term_for_id(sid)
 
             for item in items:
@@ -211,7 +228,10 @@ def _object_to_rdf(dataset, item, issuer, graph_term, options) -> dict | None:
     if isinstance(iri, str) and iri.startswith("_:"):
         return blank_node(iri)
     if not is_absolute_iri(iri):
-        return None  # relative object dropped (lib/toRdf.js:382-398)
+        # relative object dropped (lib/toRdf.js:382-398)
+        _warn(options, "relative object reference",
+              f"Relative object reference found: {iri}")
+        return None
     return named_node(iri)
 
 

@@ -22,6 +22,10 @@ rl.on('line', line => {
     }
     try {
       const opts = req.options || {};
+      const events = [];
+      if (req.collectEvents) {
+        opts.eventHandler = ({event}) => { events.push({code: event.code, level: event.level}); };
+      }
       let result;
       switch (req.op) {
         case 'expand': result = await jsonld.expand(req.doc, opts); break;
@@ -35,7 +39,8 @@ rl.on('line', line => {
         case 'merge': result = await jsonld.merge(req.docs, req.ctx || null, opts); break;
         default: throw new Error('unknown op ' + req.op);
       }
-      console.log(JSON.stringify({ok: true, result}));
+      console.log(JSON.stringify(req.collectEvents ?
+        {ok: true, result, events} : {ok: true, result}));
     } catch (e) {
       console.log(JSON.stringify({
         ok: false,

@@ -709,3 +709,35 @@ def test_frame_embed_always_option(oracle):
     mine = k_frame(doc, frm, {"embed": "@always"})
     assert ref["ok"], ref
     assert deep_eq(mine, ref["result"])
+
+
+EVENT_DOCS = [
+    ["freescalar"],
+    [{"@list": [{"@value": "x"}]}],
+    [{"@language": "en"}],
+    {"@id": "rel", "http://e.org/p": "v"},
+    {"@id": EX + "s", "http://e.org/p": {"@id": "relobj"}},
+    [{"@value": "free"}, {"@id": EX + "s", "http://e.org/p": {"@value": None}}],
+]
+
+
+@pytest.mark.parametrize("doc", EVENT_DOCS,
+                         ids=[f"ev{i}" for i in range(len(EVENT_DOCS))])
+@pytest.mark.parametrize("op", ["expand", "toRDF"])
+def test_warning_events_match_reference(oracle, op, doc):
+    """SURVEY §2.10: the warning-event stream (multiset of codes) must
+    match the reference's for the same document."""
+    from collections import Counter
+
+    from jsonld_js_spark.kernel import to_rdf as k_to_rdf3
+
+    ref = oracle.call(op, doc=doc, collectEvents=True)
+    assert ref["ok"], ref
+    opts = {"events": []}
+    if op == "expand":
+        k_expand(doc, opts)
+    else:
+        k_to_rdf3(doc, {**opts, "format": "application/n-quads"})
+    mine = Counter(e["code"] for e in opts["events"])
+    theirs = Counter(e["code"] for e in ref.get("events", []))
+    assert mine == theirs, f"mine={mine} ref={theirs}"

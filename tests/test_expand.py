@@ -308,7 +308,10 @@ def test_safe_mode_raises_on_warning():
 def test_warnings_collected():
     opts = {"events": []}
     expand([{"@value": "free"}], opts)
-    assert any(e["code"] == "free-floating scalar" for e in opts["events"])
+    assert any(e["code"] == "object with only @value" for e in opts["events"])
+    opts2 = {"events": []}
+    expand(["bare scalar"], opts2)
+    assert any(e["code"] == "free-floating scalar" for e in opts2["events"])
 
 
 def test_protected_term_redefinition():
