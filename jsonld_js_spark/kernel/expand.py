@@ -32,10 +32,8 @@ _LANG_RE = re.compile(
 
 
 def _warn(options: dict, code: str, message: str, **details):
-    events = options.setdefault("events", [])
-    events.append({"code": code, "level": "warning", "message": message, "details": details})
-    if options.get("safe"):
-        raise JsonLdError(message, "jsonld.SafeModeError", code=code, details=details)
+    from .events import emit
+    emit(options, code, message, **details)
 
 
 def _add_value(obj: dict, key: str, value, *, as_array: bool = True, allow_duplicate: bool = True):

@@ -66,8 +66,8 @@ def _term_for_id(iri: str) -> dict:
 
 
 def _warn(options, code, message):
-    events = options.setdefault("events", []) if isinstance(options, dict) else []
-    events.append({"code": code, "level": "warning", "message": message})
+    from .events import emit
+    emit(options if isinstance(options, dict) else {}, code, message)
 
 
 def to_rdf(expanded, options: dict | None = None) -> list[dict]:
