@@ -177,3 +177,43 @@ def test_canonicalization_invariance_fuzz(seed):
         for tmp, new in zip([f"_:tmp{i}" for i in range(n)], perm):
             variant = variant.replace(tmp + " ", new + " ")
         assert canon_nq(variant, max_work_factor=3) == base, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_canonicalization_distinguishes_nonisomorphic(seed):
+    """Soundness side of the canonicalization contract: graphs that are
+    NOT isomorphic must get different canonical forms (catches
+    over-coarse hashing that invariance tests alone cannot)."""
+    rng = random.Random(1000 + seed)
+    n = rng.randrange(3, 7)
+    nq = _random_bnode_graph(rng, n)
+    base = canon_nq(nq, max_work_factor=3)
+
+    lines = sorted(set(nq.strip().split("\n")))
+    # mutation 1: drop one triple
+    dropped = "\n".join(lines[:-1]) + "\n"
+    assert canon_nq(dropped, max_work_factor=3) != base
+    # mutation 2: redirect one bnode edge to a different bnode
+    for i, line in enumerate(lines):
+        parts = line.split(" ")
+        if parts[2].startswith("_:"):
+            cur = parts[2]
+            alt = next((f"_:n{k}" for k in range(n)
+                        if f"_:n{k}" != cur
+                        and " ".join(parts[:2] + [f"_:n{k}", "."])
+                        not in lines), None)
+            if alt is None:
+                continue
+            mutated = lines[:]
+            mutated[i] = " ".join(parts[:2] + [alt, "."])
+            m = "\n".join(mutated) + "\n"
+            assert canon_nq(m, max_work_factor=3) != base, f"seed={seed} line={line}"
+            break
+    # mutation 3: change a literal
+    for i, line in enumerate(lines):
+        if '"lit' in line:
+            mutated = lines[:]
+            mutated[i] = line.replace('"lit', '"LIT', 1)
+            m = "\n".join(mutated) + "\n"
+            assert canon_nq(m, max_work_factor=3) != base
+            break
