@@ -741,3 +741,67 @@ def test_warning_events_match_reference(oracle, op, doc):
     mine = Counter(e["code"] for e in opts["events"])
     theirs = Counter(e["code"] for e in ref.get("events", []))
     assert mine == theirs, f"mine={mine} ref={theirs}"
+
+
+def _rand_doc3(rng: random.Random):
+    """Third grammar: @nest, @included, array contexts, @index on
+    nodes, mixed keyword aliases."""
+    ctx1 = {"@vocab": V, "meta": "@nest", "id": "@id", "type": "@type"}
+    ctx2 = {"sec": "http://second.org/",
+            "tagged": {"@id": V + "tagged", "@language": "de"}}
+    doc = {"@context": [ctx1, ctx2] if rng.random() < 0.5 else ctx1}
+    if rng.random() < 0.8:
+        doc["id"] = EX + f"n{rng.randrange(4)}"
+    if rng.random() < 0.5:
+        doc["type"] = f"T{rng.randrange(2)}"
+    if rng.random() < 0.6:
+        doc["meta"] = {f"p{rng.randrange(3)}": f"v{rng.randrange(3)}",
+                       "inner": {"id": EX + "nested"}}
+    if rng.random() < 0.4:
+        doc["@included"] = [{"id": EX + f"inc{rng.randrange(3)}",
+                             f"p{rng.randrange(2)}": "iv"}]
+    if rng.random() < 0.4 and "sec" in str(doc.get("@context")):
+        doc["sec:remote"] = rng.choice(["plain", {"id": EX + "ref"}])
+    if rng.random() < 0.4:
+        doc["tagged"] = "wert" if "tagged" in str(doc.get("@context")) \
+            else "ignored"
+    if rng.random() < 0.3:
+        doc["@index"] = f"idx{rng.randrange(2)}"
+    if rng.random() < 0.3:
+        doc[f"p{rng.randrange(3)}"] = {"@set": [1, "two", {"id": EX + "s"}]}
+    return doc
+
+
+GRAMMAR3 = [_rand_doc3(random.Random(30_000 + s)) for s in range(60)]
+
+
+@pytest.mark.parametrize("doc", GRAMMAR3,
+                         ids=[f"g3_{i}" for i in range(len(GRAMMAR3))])
+@pytest.mark.parametrize("op", ["expand", "toRDF", "flatten", "compact"])
+def test_grammar3_matches_reference(oracle, op, doc):
+    from jsonld_js_spark.kernel import compact as k_compact
+    from jsonld_js_spark.kernel import flatten as k_flat
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+    from jsonld_js_spark.kernel.nquads import serialize as _ser
+
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc, ctx={"@context": doc["@context"]})
+    else:
+        ref = oracle.call(op, doc=doc)
+    try:
+        if op == "expand":
+            mine = k_expand(doc)
+        elif op == "toRDF":
+            mine = k_trd(doc, {"format": "application/n-quads"})
+        elif op == "flatten":
+            mine = k_flat(doc)
+        else:
+            mine = k_compact(doc, doc["@context"])
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        if op == "toRDF":
+            assert mine == ref["result"]
+        else:
+            assert deep_eq(mine, ref["result"]), \
+                f"mine={json.dumps(mine, sort_keys=True)}\nref ={json.dumps(ref['result'], sort_keys=True)}"
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference succeeded"
