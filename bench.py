@@ -45,7 +45,7 @@ def main() -> None:
     tx.unpersist()
 
     per_query: dict[str, float] = {"kg_extract_transcripts_headline": round(extract_sec, 3)}
-    skip = {"kg_extract_transcripts", "kg_canonize_transcripts"}
+    skip = {"kg_extract_transcripts", "kg_canonize_transcripts", "kg_full_build"}
     for name, (fn, _sql) in QUERIES.items():
         if name in skip:
             continue

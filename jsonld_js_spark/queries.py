@@ -818,6 +818,26 @@ def emb_knn_lsh(spark, sf_dir):
     return lsh_topk(e, q, k=10, bits=16, bands=8)
 
 
+def kg_full_build(spark, sf_dir):
+    """The complete north-star pipeline in one plan: synthesize
+    transcripts -> fused extract with per-document RDFC-1.0
+    canonicalization -> salted entity linking -> mention triples
+    unioned into the graph. Rows-only driver check; each stage is
+    independently oracle/parity-tested elsewhere."""
+    from .operators.entity_link import link_entities, mention_triples
+    from .operators.pipeline import extract_triples, triples_only
+    from .sources.entities import entities_df
+    from .sources.transcripts import synthesize_transcripts
+
+    tx = synthesize_transcripts(spark, 60, seed=42)
+    doc_triples = (triples_only(extract_triples(tx, canonicalize=True))
+                   .drop("conv_id", "turn_idx"))
+    ents = entities_df(spark, 300)
+    links = link_entities(tx, ents, strategy="salted", n_salt=8)
+    mentions = mention_triples(links)
+    return doc_triples.unionByName(mentions)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -841,6 +861,7 @@ QUERIES = {
     "kg_fromrdf_nodes": (kg_fromrdf_nodes, ORACLE_KG_FROMRDF),
     "kg_extract_transcripts": (kg_extract_transcripts, None),
     "kg_canonize_transcripts": (kg_canonize_transcripts, None),
+    "kg_full_build": (kg_full_build, None),
     "doc_dedup_exact": (doc_dedup_exact, ORACLE_DOC_DEDUP_EXACT),
     "doc_dedup_token_jaccard": (doc_dedup_token_jaccard, ORACLE_DOC_JACCARD),
     "doc_dedup_minhash_lsh": (doc_dedup_minhash_lsh, ORACLE_DOC_MINHASH),
