@@ -30,7 +30,11 @@ from . import fromrdf as _fromrdf
 from . import nquads as _nquads
 from . import tordf as _tordf
 from .context import initial_context, process_context
-from .nodemap import IdentifierIssuer, create_node_map, merge_node_map_graphs
+from .nodemap import (
+    IdentifierIssuer,
+    create_node_map as _nm_create,
+    merge_node_map_graphs,
+)
 
 
 def _prepare(options: dict | None) -> dict:
@@ -162,6 +166,21 @@ def from_rdf(dataset, options: dict | None = None) -> list:
         use_native_types=options.get("useNativeTypes", False),
         rdf_direction=options.get("rdfDirection"),
     )
+
+
+def create_node_map(doc, options: dict | None = None) -> dict:
+    """Merged node map for a document (parity lib/jsonld.js:730-746):
+    expand -> createNodeMap over all graphs -> property-merged subject
+    map."""
+    options = _prepare(options)
+    expanded = expand(doc, options)
+    graphs = create_node_map_graphs(expanded)
+    return merge_node_map_graphs(graphs)
+
+
+def create_node_map_graphs(expanded) -> dict:
+    """Raw per-graph node map (graph -> subject -> node)."""
+    return _nm_create(expanded, issuer=IdentifierIssuer("_:b"))
 
 
 def canonize(doc, options: dict | None = None) -> str:
