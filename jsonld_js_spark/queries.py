@@ -53,10 +53,11 @@ def q_agg_pricing_summary(spark, sf_dir):
 
 ORACLE_Q_AGG = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-           AS sum_disc_price_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS sum_disc_price_cents,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -82,8 +83,8 @@ def q_join_broadcast_region_sales(spark, sf_dir):
 
 ORACLE_Q_JOIN_BROADCAST = """
 SELECT r_name,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-           AS revenue_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
        COUNT(DISTINCT s_suppkey) AS n_suppliers
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
@@ -209,7 +210,8 @@ def q_skew_salted_join(spark, sf_dir):
 
 ORACLE_Q_SKEW = """
 SELECT o_orderpriority,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
        COUNT(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -232,7 +234,8 @@ def q_events_sessionize(spark, sf_dir):
 
 
 ORACLE_Q_SESSIONIZE = """
-SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
 FROM (
   SELECT user_id,
          CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
@@ -252,12 +255,12 @@ def q_events_windowed(spark, sf_dir):
     return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
                       "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("value"), 4).alias("sum_value")))
+                 (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value")))
 
 
 ORACLE_Q_WINDOWED = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
-       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+       COUNT(*) AS n, ROUND(SUM(value), 4) + 0.0 AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -632,7 +635,8 @@ WITH s AS (
                    AND length(text) >= 30
               THEN 1 ELSE 0 END AS quality
   FROM documents)
-SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
        ROUND(AVG(quality), 4) AS quality_rate,
        COUNT(DISTINCT lang) AS n_langs
 FROM s GROUP BY source
@@ -728,11 +732,13 @@ def emb_centroid_norm(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     return (e.select("label", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("label", "pos")
-            .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("avg_v")))
+            .agg((F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0))
+                 .alias("avg_v")))
 
 
 ORACLE_EMB_CENTROID = """
-SELECT label, i - 1 AS pos, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS avg_v
+SELECT label, i - 1 AS pos,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS avg_v
 FROM embeddings, generate_series(1, 64) gs(i)
 GROUP BY label, i - 1
 """

@@ -1,7 +1,10 @@
 """Pre-validate the driver contract: every queries() entry vs its
 DuckDB oracle at sf0.001 (the driver runs the same comparison at
-sf0.01). Compare row count, column names, and order-insensitive
-values (stringified, sorted) — a superset of the driver's hash check.
+sf0.01). Mirrors the driver's strictness: the DuckDB side is fetched
+via Arrow (the driver's fetch path), column *type kinds* must match
+(int vs float vs other — a DuckDB HUGEINT/decimal128 SUM vs Spark
+int64 is a failure here, exactly as it is in the driver's value hash),
+and values are compared with exact reprs, not a lossy %.10g collapse.
 """
 
 import math
@@ -26,6 +29,19 @@ def ddb():
     con.close()
 
 
+def _kind(arrow_type_or_spark_name):
+    """Collapse a type name to the equivalence class the driver's value
+    hash effectively distinguishes: int / float / decimal / other."""
+    t = str(arrow_type_or_spark_name).lower()
+    if t.startswith(("int", "uint", "bigint", "long", "smallint", "tinyint")):
+        return "int"
+    if t.startswith(("float", "double", "halffloat")):
+        return "float"
+    if t.startswith("decimal"):
+        return "decimal"
+    return "other"
+
+
 def _norm(v):
     if v is None:
         return "NULL"
@@ -34,9 +50,7 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.10g}"
+        return repr(v)
     return str(v)
 
 
@@ -53,14 +67,26 @@ NO_ORACLE = [(name, fn) for name, (fn, sql) in QUERIES.items() if not sql]
 def test_query_matches_oracle(spark, ddb, name, fn, sql):
     sdf = fn(spark, SF_DIR)
     spark_cols = [c.lower() for c in sdf.columns]
+    spark_kinds = {f.name.lower(): _kind(f.dataType.simpleString())
+                   for f in sdf.schema.fields}
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = ddb.execute(sql)
-    duck_cols = [d[0].lower() for d in res.description]
-    duck_rows = res.fetchall()
+    # Fetch via Arrow — the driver's path — so DuckDB's HUGEINT/decimal
+    # widenings are visible instead of silently collapsed by fetchall().
+    atbl = ddb.execute(sql).arrow()
+    duck_cols = [f.name.lower() for f in atbl.schema]
+    duck_kinds = {f.name.lower(): _kind(f.type) for f in atbl.schema}
+    duck_rows = list(zip(*(atbl.column(i).to_pylist()
+                           for i in range(atbl.num_columns)))) \
+        if atbl.num_columns else []
 
     assert sorted(spark_cols) == sorted(duck_cols), \
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    for c in spark_cols:
+        assert spark_kinds[c] == duck_kinds[c], (
+            f"{name}: column {c!r} type-kind mismatch: spark={spark_kinds[c]} "
+            f"duck={duck_kinds[c]} — the driver hash WILL fail on this "
+            f"(wrap the oracle aggregate in CAST(... AS BIGINT/DOUBLE))")
     assert len(spark_rows) == len(duck_rows), \
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     sset = _rows_to_set(spark_rows, spark_cols)
