@@ -43,7 +43,14 @@ V = "https://example.org/vocab#"
 
 
 def _doc_salt(conv_id: str, turn_idx: int) -> str:
-    return hashlib.sha256(f"{conv_id}\x1f{turn_idx}".encode()).hexdigest()[:10]
+    """Collision-free per-turn blank-node salt.
+
+    The turn index is embedded structurally (two turns of one
+    conversation can never collide) and the conversation component is
+    the FULL sha256 digest, so a cross-conversation collision requires
+    a sha256 collision — negligible at 10^12 turns (a truncated 40-bit
+    salt collides with ~2% probability at just 200k documents)."""
+    return f"{hashlib.sha256(conv_id.encode()).hexdigest()}-{turn_idx}"
 
 
 def looks_like_jsonld(text: str) -> bool:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 from datetime import datetime, timedelta, timezone
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -86,17 +87,18 @@ def _t_person(s, k):
 
 
 def _t_measure(s, k):
-    # expected double form hand-computed: (k + 0.5) is exactly
-    # representable, canonical xsd:double is d.dddE<exp> — e.g. 7.5 ->
-    # "7.5E0", 96.5 -> "9.65E1".
+    # Canonical xsd:double exactly as the reference computes it
+    # (lib/toRdf.js canonical double: toExponential(15) then strip the
+    # trailing-zero run before the exponent) — e.g. 0.5 -> "5.0E-1",
+    # 7.5 -> "7.5E0", 96.5 -> "9.65E1". A hand-rolled mantissa split
+    # got k=0 wrong ("0.5E0"); this mirrors the rule itself.
     val = k + 0.5
-    digits = str(val).replace(".", "").rstrip("0") or "0"
-    exp10 = len(str(int(val))) - 1
-    mant = digits[0] + "." + (digits[1:] or "0")
+    canon = re.sub(r"(\d)0*e\+?", r"\1E", f"{val:.15e}", count=1)
+    canon = re.sub(r"E(-?)0*(\d)", r"E\1\2", canon, count=1)
     doc = {"@context": {"@vocab": V}, "@id": s,
            "score": val, "active": k % 2 == 0}
     exp = [f'<{s}> <{V}active> "{"true" if k % 2 == 0 else "false"}"^^<{XSD}boolean> .',
-           f'<{s}> <{V}score> "{mant}E{exp10}"^^<{XSD}double> .']
+           f'<{s}> <{V}score> "{canon}"^^<{XSD}double> .']
     return doc, exp
 
 
