@@ -150,9 +150,12 @@ def from_rdf(quads: list[dict], *, use_rdf_type: bool = False,
         for usage in nil["usages"]:
             node, prop, head = usage["node"], usage["property"], usage["value"]
             lst, list_nodes = [], []
+            # NOTE: the walked node need NOT be a blank node here — the
+            # reference's while condition has no bnode check (an IRI
+            # list node at walk start IS folded, lib/fromRdf.js:236-242);
+            # only the post-move break below requires blank nodes.
             while (prop == C.RDF_REST
                    and isinstance(referenced_once.get(node.get("@id", "")), dict)
-                   and node.get("@id", "").startswith("_:")
                    and isinstance(node.get(C.RDF_FIRST), list)
                    and len(node[C.RDF_FIRST]) == 1
                    and isinstance(node.get(C.RDF_REST), list)

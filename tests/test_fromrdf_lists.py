@@ -1,0 +1,145 @@
+"""Differential fromRDF list-reconstruction edge cases vs the real
+reference (lib/fromRdf.js:209-268), driven by raw N-Quads datasets —
+shapes kernel to_rdf never emits (IRI-subject list nodes, partial
+chains, malformed links, direct rdf:nil references, shared tails).
+"""
+
+import pytest
+
+from jsonld_js_spark.kernel.fromrdf import from_rdf as k_from_rdf
+from jsonld_js_spark.kernel.nquads import parse as nq_parse
+
+from tests.ref_oracle.harness import ReferenceOracle
+from tests.test_differential import deep_eq
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+E = "http://e.org/"
+
+
+def _nq(*lines):
+    return "".join(line + " .\n" for line in lines)
+
+
+CASES = {
+    # the reference folds an IRI-subject list node at walk start (no
+    # bnode requirement in the while condition)
+    "iri_list_node": _nq(
+        f'<{E}s> <{RDF}first> "a"',
+        f'<{E}s> <{RDF}rest> <{RDF}nil>',
+        f'<{E}x> <{E}p> <{E}s>'),
+    # ...but an IRI node mid-chain stops the walk after one more step
+    "iri_node_mid_chain": _nq(
+        f'_:l1 <{RDF}first> "b"',
+        f'_:l1 <{RDF}rest> <{RDF}nil>',
+        f'<{E}m> <{RDF}first> "a"',
+        f'<{E}m> <{RDF}rest> _:l1',
+        f'<{E}x> <{E}p> <{E}m>'),
+    "plain_bnode_chain": _nq(
+        f'_:l0 <{RDF}first> "a"',
+        f'_:l0 <{RDF}rest> _:l1',
+        f'_:l1 <{RDF}first> "b"',
+        f'_:l1 <{RDF}rest> <{RDF}nil>',
+        f'<{E}x> <{E}p> _:l0'),
+    # node referenced twice -> partial fold attaches at the break point
+    "doubly_referenced_link": _nq(
+        f'_:l0 <{RDF}first> "a"',
+        f'_:l0 <{RDF}rest> _:l1',
+        f'_:l1 <{RDF}first> "b"',
+        f'_:l1 <{RDF}rest> <{RDF}nil>',
+        f'<{E}x> <{E}p> _:l0',
+        f'<{E}y> <{E}q> _:l0'),
+    # direct object reference to rdf:nil under a data predicate
+    "direct_nil_ref": _nq(f'<{E}x> <{E}p> <{RDF}nil>'),
+    # rdf:rest pointing at nil from a node with extra properties
+    "fat_list_node": _nq(
+        f'_:l0 <{RDF}first> "a"',
+        f'_:l0 <{RDF}rest> <{RDF}nil>',
+        f'_:l0 <{E}extra> "x"',
+        f'<{E}x> <{E}p> _:l0'),
+    # @type rdf:List is permitted on a well-formed link
+    "typed_list_node": _nq(
+        f'_:l0 <{RDF}first> "a"',
+        f'_:l0 <{RDF}rest> <{RDF}nil>',
+        f'_:l0 <{RDF}type> <{RDF}List>',
+        f'<{E}x> <{E}p> _:l0'),
+    # any other @type breaks well-formedness
+    "wrong_typed_list_node": _nq(
+        f'_:l0 <{RDF}first> "a"',
+        f'_:l0 <{RDF}rest> <{RDF}nil>',
+        f'_:l0 <{RDF}type> <{E}Other>',
+        f'<{E}x> <{E}p> _:l0'),
+    # two distinct rdf:first values break well-formedness
+    "double_first": _nq(
+        f'_:l0 <{RDF}first> "a"',
+        f'_:l0 <{RDF}first> "b"',
+        f'_:l0 <{RDF}rest> <{RDF}nil>',
+        f'<{E}x> <{E}p> _:l0'),
+    # a literal rdf:rest on the walked node still counts as one value
+    "literal_rest_elsewhere": _nq(
+        f'_:l0 <{RDF}first> "a"',
+        f'_:l0 <{RDF}rest> <{RDF}nil>',
+        f'_:m <{RDF}first> "z"',
+        f'_:m <{RDF}rest> "not-a-node"',
+        f'<{E}x> <{E}p> _:l0',
+        f'<{E}x> <{E}q> _:m'),
+    # unreferenced list head (no usage entry for the head itself)
+    "orphan_chain": _nq(
+        f'_:l0 <{RDF}first> "a"',
+        f'_:l0 <{RDF}rest> <{RDF}nil>'),
+    # rest-chain that never reaches nil stays raw
+    "dangling_chain": _nq(
+        f'_:l0 <{RDF}first> "a"',
+        f'_:l0 <{RDF}rest> _:l1',
+        f'_:l1 <{RDF}first> "b"',
+        f'_:l1 <{RDF}rest> _:gone',
+        f'<{E}x> <{E}p> _:l0'),
+    # two chains sharing a tail: tail referenced twice -> partial folds
+    "shared_tail": _nq(
+        f'_:t <{RDF}first> "t"',
+        f'_:t <{RDF}rest> <{RDF}nil>',
+        f'_:a <{RDF}first> "a"',
+        f'_:a <{RDF}rest> _:t',
+        f'_:b <{RDF}first> "b"',
+        f'_:b <{RDF}rest> _:t',
+        f'<{E}x> <{E}p> _:a',
+        f'<{E}x> <{E}q> _:b'),
+    # mutual first/rest references (the backward walk exits via first)
+    "first_rest_knot": _nq(
+        f'_:n0 <{RDF}first> _:n1',
+        f'_:n0 <{RDF}rest> <{RDF}nil>',
+        f'_:n1 <{RDF}first> "x"',
+        f'_:n1 <{RDF}rest> _:n0'),
+    # a longer chain exercising multiple walk steps
+    "chain_of_five": _nq(*(
+        [f'_:l{i} <{RDF}first> "v{i}"' for i in range(5)]
+        + [f'_:l{i} <{RDF}rest> _:l{i+1}' for i in range(4)]
+        + [f'_:l4 <{RDF}rest> <{RDF}nil>', f'<{E}x> <{E}p> _:l0'])),
+    # named-graph list: reconstruction is per graph
+    "list_in_named_graph": _nq(
+        f'_:l0 <{RDF}first> "a" <{E}g>',
+        f'_:l0 <{RDF}rest> <{RDF}nil> <{E}g>',
+        f'<{E}x> <{E}p> _:l0 <{E}g>'),
+}
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    o = ReferenceOracle()
+    yield o
+    o.close()
+
+
+@pytest.mark.parametrize("name", CASES, ids=list(CASES))
+def test_list_reconstruction_matches_reference(oracle, name):
+    quads = nq_parse(CASES[name])
+    sendable = []
+    for q in quads:
+        if q["graph"]["termType"] == "BlankNode":
+            q = {**q, "graph": {"termType": "BlankNode",
+                                "value": "_:" + q["graph"]["value"]}}
+        sendable.append(q)
+    ref = oracle.call("fromRDF", dataset=sendable)
+    assert ref["ok"], ref
+    mine = k_from_rdf(quads)
+    assert deep_eq(mine, ref["result"]), (
+        f"{name}:\n mine={mine}\n ref={ref['result']}")
