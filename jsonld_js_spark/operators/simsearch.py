@@ -55,31 +55,38 @@ def brute_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rn") <= k).drop("rn"))
 
 
-def _hyperplanes(spark, dims: int, bits: int, seed: int = 42) -> DataFrame:
-    """Deterministic ±1 coefficients per (bit, dim) from md5 — every
-    executor derives the same planes, nothing random at runtime."""
-    rows = []
-    for b in range(bits):
-        for d in range(dims):
-            h = hashlib.md5(f"{seed}:{b}:{d}".encode()).digest()[0]
-            rows.append((b, d, 1.0 if h & 1 else -1.0))
-    return spark.createDataFrame(rows, "bit int, dim int, coef double")
+def _plane_coefs(dims: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 coefficients per (bit, dim) from md5 — derived
+    on the driver and inlined as literals, nothing random at runtime."""
+    return [[1.0 if hashlib.md5(f"{seed}:{b}:{d}".encode()).digest()[0] & 1
+             else -1.0 for d in range(dims)]
+            for b in range(bits)]
 
 
-def _signatures(df: DataFrame, planes: DataFrame, *, id_col: str,
+def _signatures(df: DataFrame, coefs: list[list[float]], *, id_col: str,
                 vec_col: str, bands: int, bits: int) -> DataFrame:
+    """(id, band, sig) rows computed entirely PER ROW: each bit's
+    projection is an F.aggregate dot product against a literal ±1
+    plane, band signatures are string concats, and bands explode to
+    rows — zero shuffle before the bucket join (the old shape
+    posexploded N x dims rows through a join + two groupBys)."""
     rows_per_band = bits // bands
-    elem = df.select(id_col, F.posexplode(vec_col).alias("dim", "v"))
-    bit_vals = (elem.join(F.broadcast(planes), "dim")
-                .groupBy(id_col, "bit")
-                .agg(F.sum(F.col("v") * F.col("coef")).alias("proj")))
-    sig_bits = bit_vals.select(
-        id_col, "bit",
-        F.when(F.col("proj") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("s"),
-        (F.col("bit") / rows_per_band).cast("int").alias("band"))
-    return (sig_bits.groupBy(id_col, "band")
-            .agg(F.concat_ws("", F.sort_array(
-                F.collect_list(F.struct("bit", "s")))["s"]).alias("sig")))
+
+    def proj(b: int):
+        plane = F.array(*[F.lit(c) for c in coefs[b]])
+        return F.aggregate(F.zip_with(vec_col, plane, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    bit_chars = [F.when(proj(b) >= 0, F.lit("1")).otherwise(F.lit("0"))
+                 for b in range(bits)]
+    band_structs = [
+        F.struct(F.lit(i).alias("band"),
+                 F.concat(*bit_chars[i * rows_per_band:
+                                     (i + 1) * rows_per_band]).alias("sig"))
+        for i in range(bands)]
+    return (df.select(id_col, F.explode(F.array(*band_structs)).alias("bs"))
+            .select(id_col, F.col("bs.band").alias("band"),
+                    F.col("bs.sig").alias("sig")))
 
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
@@ -88,14 +95,13 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              query_id_col: str = "query_id", seed: int = 42) -> DataFrame:
     """Banded signed-random-projection ANN: candidates share at least
     one band signature with the query; exact cosine re-ranks them."""
-    spark = embeddings.sparkSession
-    planes = _hyperplanes(spark, dims, bits, seed)
+    coefs = _plane_coefs(dims, bits, seed)
     e = _as_double(embeddings, vec_col)
     q = _as_double(queries, vec_col)
 
-    e_sig = _signatures(e, planes, id_col=id_col, vec_col=vec_col,
+    e_sig = _signatures(e, coefs, id_col=id_col, vec_col=vec_col,
                         bands=bands, bits=bits)
-    q_sig = _signatures(q, planes, id_col=query_id_col, vec_col=vec_col,
+    q_sig = _signatures(q, coefs, id_col=query_id_col, vec_col=vec_col,
                         bands=bands, bits=bits)
     cand = (e_sig.join(q_sig, ["band", "sig"])
             .select(id_col, query_id_col).distinct())
@@ -108,7 +114,7 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
               .filter(F.col(id_col) != F.col(query_id_col)))
     scored = joined.select(
         query_id_col, id_col,
-        F.round(_cosine("_ev", "_qv"), 6).alias("cosine"))
+        (F.round(_cosine("_ev", "_qv"), 6) + F.lit(0.0)).alias("cosine"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc())
     return (scored.withColumn("rn", F.row_number().over(w))

@@ -771,14 +771,11 @@ FROM documents
 
 def kg_fromrdf_nodes(spark, sf_dir):
     """The inverse scan (SURVEY §2.6): triples -> assembled JSON-LD
-    nodes via a REAL hash aggregation (groupBy graph + per-graph
-    assembly in operators/fromrdf_ops). Output is the per-subject
-    predicate count — independently reconstructable by the oracle from
-    the base tables."""
-    import json as _json
-
-    from pyspark.sql.types import IntegerType
-
+    nodes via distributed per-subject assembly (operators/fromrdf_ops:
+    one Catalyst collect_list aggregation + iterative list-chain joins,
+    no single-task stage). Output is the per-subject predicate count —
+    independently reconstructable by the oracle from the base tables;
+    the count is derived JVM-side with json_object_keys (no Python)."""
     from .operators.fromrdf_ops import from_rdf_nodes
 
     tri = kg_tordf_customers(spark, sf_dir)
@@ -790,14 +787,10 @@ def kg_fromrdf_nodes(spark, sf_dir):
         F.lit(None).cast("string").alias("obj_datatype"),
         F.lit(None).cast("string").alias("obj_lang"))
     nodes = from_rdf_nodes(full)
-
-    @F.udf(IntegerType())
-    def n_props(node_json):
-        node = _json.loads(node_json)
-        return len([k for k in node if k != "@id"])
-
-    # per-node property count; the UDF only parses the tiny node JSON
-    return nodes.select("subj", n_props("node_json").alias("n_props"))
+    return nodes.select(
+        "subj",
+        (F.size(F.json_object_keys("node_json")) - 1)
+        .cast("int").alias("n_props"))
 
 
 ORACLE_KG_FROMRDF = """
@@ -814,14 +807,190 @@ SELECT subj, n_props FROM t
 
 def emb_knn_lsh(spark, sf_dir):
     """ANN scale path: banded signed-random-projection LSH + exact
-    re-rank (operators/simsearch.lsh_topk). Rows-only driver check;
-    recall >= 0.5 vs brute force asserted in tests/test_simsearch.py."""
+    re-rank (operators/simsearch.lsh_topk). Signatures are per-row
+    F.aggregate dot products against literal md5-derived ±1 planes —
+    zero shuffle before the bucket join. The oracle replicates the
+    planes as SQL literals (deterministic, same seed); recall >= 0.5
+    vs brute force is asserted in tests/test_simsearch.py."""
     from .operators.simsearch import lsh_topk
 
     e = load(spark, sf_dir, "embeddings")
     q = (e.filter(F.col("vec_id") < 3)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
     return lsh_topk(e, q, k=10, bits=16, bands=8)
+
+
+def _oracle_emb_knn_lsh() -> str:
+    """DuckDB replica of lsh_topk(bits=16, bands=8, dims=64, seed=42):
+    the md5-derived ±1 planes are inlined as list literals so
+    list_dot_product reproduces the exact projections."""
+    from .operators.simsearch import _plane_coefs
+
+    bits, bands, dims, k = 16, 8, 64, 10
+    rpb = bits // bands
+    coefs = _plane_coefs(dims, bits, seed=42)
+    bit_cols = ",\n         ".join(
+        "CASE WHEN list_dot_product(v, [{}]) >= 0 THEN '1' ELSE '0' END AS b{}"
+        .format(",".join(str(c) for c in coefs[b]), b)
+        for b in range(bits))
+    band_rows = "\n    UNION ALL ".join(
+        "SELECT vec_id, {} AS band, {} AS sig FROM sigs".format(
+            i, "||".join(f"b{j}" for j in range(i * rpb, (i + 1) * rpb)))
+        for i in range(bands))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id,
+         {bit_cols}
+  FROM e),
+bands AS (
+    {band_rows}
+),
+qb AS (SELECT vec_id AS query_id, band, sig FROM bands WHERE vec_id < 3),
+cand AS (SELECT DISTINCT b.vec_id, qb.query_id
+         FROM bands b JOIN qb USING (band, sig)
+         WHERE b.vec_id <> qb.query_id),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         ROUND(list_dot_product(ev.v, qv.v)
+               / (sqrt(list_dot_product(ev.v, ev.v))
+                  * sqrt(list_dot_product(qv.v, qv.v))), 6) + 0.0 AS cosine
+  FROM cand c
+  JOIN e ev ON ev.vec_id = c.vec_id
+  JOIN e qv ON qv.vec_id = c.query_id)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored)
+WHERE rn <= {k}
+"""
+
+
+ORACLE_EMB_KNN_LSH = _oracle_emb_knn_lsh()
+
+
+def _docs_as_transcripts(spark, sf_dir):
+    """documents -> transcript-shaped rows both engines can derive:
+    conv 'doc-<id>', turn doc_id % 5, role by doc_id % 3, the document
+    text as the turn text, no tool, no ts. Texts that would parse as
+    embedded JSON-LD are excluded so every row takes the envelope path
+    (the filter is replicated verbatim in the oracle)."""
+    d = load(spark, sf_dir, "documents")
+    lead = F.substring(F.ltrim(F.col("text")), 1, 1)
+    return (d.filter(~lead.isin("{", "["))
+            .select(F.concat(F.lit("doc-"), F.col("doc_id")).alias("conv_id"),
+                    (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+                    F.element_at(F.array(F.lit("user"), F.lit("assistant"),
+                                         F.lit("tool")),
+                                 (F.col("doc_id") % 3 + 1).cast("int"))
+                    .alias("role"),
+                    F.col("text"),
+                    F.lit(None).cast("string").alias("tool"),
+                    F.lit(None).cast("timestamp").alias("ts")))
+
+
+def kg_extract_documents(spark, sf_dir):
+    """The fused extractor over the sf-dir documents table, so DuckDB
+    sees the same input: every turn takes the envelope path, whose
+    five triples the oracle reconstructs with string concat (the
+    ORACLE_KG_TORDF pattern). This is the hash-level driver gate for
+    the extraction pipeline itself (mapInPandas -> expand -> toRDF)."""
+    from .operators.pipeline import extract_triples, triples_only
+
+    tx = _docs_as_transcripts(spark, sf_dir)
+    return (triples_only(extract_triples(tx))
+            .select("conv_id", "turn_idx", "subj", "pred", "obj_kind",
+                    "obj_value", "obj_datatype"))
+
+
+ORACLE_KG_EXTRACT_DOCS = """
+WITH tx AS (
+  SELECT 'doc-' || doc_id AS conv_id,
+         CAST(doc_id % 5 AS INT) AS turn_idx,
+         ['user', 'assistant', 'tool'][CAST(doc_id % 3 AS INT) + 1] AS role,
+         text
+  FROM documents
+  WHERE substr(ltrim(text), 1, 1) NOT IN ('{', '[')),
+base AS (
+  SELECT conv_id, turn_idx,
+         'https://example.org/conv/' || conv_id || '/turn/' || turn_idx
+             AS subj,
+         role, text
+  FROM tx)
+SELECT conv_id, turn_idx, subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'iri' AS obj_kind,
+       'https://example.org/vocab#Turn' AS obj_value,
+       CAST(NULL AS VARCHAR) AS obj_datatype
+FROM base
+UNION ALL
+SELECT conv_id, turn_idx, subj, 'https://example.org/vocab#conversation',
+       'iri', 'https://example.org/conv/' || conv_id, NULL
+FROM base
+UNION ALL
+SELECT conv_id, turn_idx, subj, 'https://example.org/vocab#turnIndex',
+       'literal', CAST(turn_idx AS VARCHAR),
+       'http://www.w3.org/2001/XMLSchema#integer'
+FROM base
+UNION ALL
+SELECT conv_id, turn_idx, subj, 'https://example.org/vocab#role',
+       'literal', role, 'http://www.w3.org/2001/XMLSchema#string'
+FROM base
+UNION ALL
+SELECT conv_id, turn_idx, subj, 'https://example.org/vocab#text',
+       'literal', text, 'http://www.w3.org/2001/XMLSchema#string'
+FROM base
+"""
+
+
+def kg_canonize_documents(spark, sf_dir):
+    """Canonicalized extraction with a full hash-level oracle: each
+    document becomes an embedded JSON-LD doc with ONE blank node, so
+    RDFC-1.0 must label it c14n0 and the pipeline's salted relabel
+    (_:c14n-<sha256(conv)>-<turn>-0) is reconstructable in SQL via
+    DuckDB's sha256. Exercises the whole canonize path end-to-end
+    (URDNA2015 kernel -> per-turn salt -> relabel); the multi-bnode
+    label ASSIGNMENT correctness is covered by the W3C rdf-canon
+    vectors in tests."""
+    from .operators.pipeline import extract_triples, triples_only
+
+    d = load(spark, sf_dir, "documents")
+    doc_text = F.concat(
+        F.lit('{"@context":{"@vocab":"https://example.org/vocab#"},'
+              '"@id":"https://example.org/doc/'),
+        F.col("doc_id"),
+        F.lit('","knows":{"name":"K'), F.col("doc_id"), F.lit('"}}'))
+    tx = d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("conv_id"),
+        (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        doc_text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    return (triples_only(extract_triples(tx, canonicalize=True))
+            .select("conv_id", "turn_idx", "subj", "pred", "obj_kind",
+                    "obj_value", "obj_datatype"))
+
+
+ORACLE_KG_CANONIZE_DOCS = """
+WITH base AS (
+  SELECT 'doc-' || doc_id AS conv_id,
+         CAST(doc_id % 5 AS INT) AS turn_idx,
+         'https://example.org/doc/' || doc_id AS subj,
+         '_:c14n-' || sha256('doc-' || doc_id) || '-'
+             || CAST(doc_id % 5 AS INT) || '-0' AS blabel,
+         'K' || doc_id AS kname
+  FROM documents)
+SELECT conv_id, turn_idx, blabel AS subj,
+       'https://example.org/vocab#name' AS pred,
+       'literal' AS obj_kind, kname AS obj_value,
+       'http://www.w3.org/2001/XMLSchema#string' AS obj_datatype
+FROM base
+UNION ALL
+SELECT conv_id, turn_idx, subj, 'https://example.org/vocab#knows',
+       'bnode', blabel, NULL
+FROM base
+"""
 
 
 def kg_full_build(spark, sf_dir):
@@ -867,6 +1036,8 @@ QUERIES = {
     "kg_fromrdf_nodes": (kg_fromrdf_nodes, ORACLE_KG_FROMRDF),
     "kg_extract_transcripts": (kg_extract_transcripts, None),
     "kg_canonize_transcripts": (kg_canonize_transcripts, None),
+    "kg_extract_documents": (kg_extract_documents, ORACLE_KG_EXTRACT_DOCS),
+    "kg_canonize_documents": (kg_canonize_documents, ORACLE_KG_CANONIZE_DOCS),
     "kg_full_build": (kg_full_build, None),
     "doc_dedup_exact": (doc_dedup_exact, ORACLE_DOC_DEDUP_EXACT),
     "doc_dedup_token_jaccard": (doc_dedup_token_jaccard, ORACLE_DOC_JACCARD),
@@ -876,7 +1047,7 @@ QUERIES = {
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "emb_pair_cosine": (emb_pair_cosine, ORACLE_EMB_PAIR),
     "emb_knn_brute": (emb_knn_brute, ORACLE_EMB_KNN),
-    "emb_knn_lsh": (emb_knn_lsh, None),
+    "emb_knn_lsh": (emb_knn_lsh, ORACLE_EMB_KNN_LSH),
     "emb_centroid_norm": (emb_centroid_norm, ORACLE_EMB_CENTROID),
     "mm_binary_meta": (mm_binary_meta, ORACLE_MM_META),
 }

@@ -119,6 +119,57 @@ CASES = {
         f'_:l0 <{RDF}first> "a" <{E}g>',
         f'_:l0 <{RDF}rest> <{RDF}nil> <{E}g>',
         f'<{E}x> <{E}p> _:l0 <{E}g>'),
+    # nested list [["a"], "b"] — the reference resolves the inner
+    # @list through object aliasing of the pushed rdf:first value
+    "nested_list": _nq(
+        f'_:i0 <{RDF}first> "a"',
+        f'_:i0 <{RDF}rest> <{RDF}nil>',
+        f'_:l0 <{RDF}first> _:i0',
+        f'_:l0 <{RDF}rest> _:l1',
+        f'_:l1 <{RDF}first> "b"',
+        f'_:l1 <{RDF}rest> <{RDF}nil>',
+        f'<{E}x> <{E}p> _:l0'),
+    # triple nesting [[["z"]]]
+    "triple_nested_list": _nq(
+        f'_:a <{RDF}first> "z"',
+        f'_:a <{RDF}rest> <{RDF}nil>',
+        f'_:b <{RDF}first> _:a',
+        f'_:b <{RDF}rest> <{RDF}nil>',
+        f'_:c <{RDF}first> _:b',
+        f'_:c <{RDF}rest> <{RDF}nil>',
+        f'<{E}x> <{E}p> _:c'),
+    # empty inner list: rdf:first pointing at rdf:nil inside a chain
+    "inner_empty_list": _nq(
+        f'_:l0 <{RDF}first> <{RDF}nil>',
+        f'_:l0 <{RDF}rest> <{RDF}nil>',
+        f'<{E}x> <{E}p> _:l0'),
+    # two sibling nested lists in one outer chain
+    "sibling_nested_lists": _nq(
+        f'_:i0 <{RDF}first> "a"',
+        f'_:i0 <{RDF}rest> <{RDF}nil>',
+        f'_:i1 <{RDF}first> "b"',
+        f'_:i1 <{RDF}rest> <{RDF}nil>',
+        f'_:l0 <{RDF}first> _:i0',
+        f'_:l0 <{RDF}rest> _:l1',
+        f'_:l1 <{RDF}first> _:i1',
+        f'_:l1 <{RDF}rest> <{RDF}nil>',
+        f'<{E}x> <{E}p> _:l0'),
+    # inner list node referenced twice -> inner stays raw, outer folds
+    "nested_inner_shared": _nq(
+        f'_:i0 <{RDF}first> "a"',
+        f'_:i0 <{RDF}rest> <{RDF}nil>',
+        f'_:l0 <{RDF}first> _:i0',
+        f'_:l0 <{RDF}rest> <{RDF}nil>',
+        f'<{E}x> <{E}p> _:l0',
+        f'<{E}y> <{E}q> _:i0'),
+    # mixed graphs: same bnode label used in default and named graph
+    "same_label_two_graphs": _nq(
+        f'_:l0 <{RDF}first> "a"',
+        f'_:l0 <{RDF}rest> <{RDF}nil>',
+        f'<{E}x> <{E}p> _:l0',
+        f'_:l0 <{RDF}first> "b" <{E}g>',
+        f'_:l0 <{RDF}rest> <{RDF}nil> <{E}g>',
+        f'<{E}y> <{E}q> _:l0 <{E}g>'),
 }
 
 

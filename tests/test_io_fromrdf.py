@@ -69,3 +69,77 @@ def test_from_rdf_nodes_roundtrip(spark):
     # list was folded back
     assert nodes["http://ex.org/s"]["http://ex.org/steps"] == \
         [{"@list": [{"@value": "a"}, {"@value": "b"}]}]
+
+
+def test_from_rdf_nodes_matches_kernel_on_list_shapes(spark):
+    """The distributed operator == kernel from_rdf applied per graph,
+    over every raw N-Quads list shape in the differential corpus
+    (IRI list nodes, partial chains, shared tails, nested lists,
+    named-graph lists). All cases are merged into ONE operator run by
+    namespacing each case's graph — semantics are per graph, so this
+    is equivalent and avoids 28 sequential Spark pipelines."""
+    import json
+
+    from jsonld_js_spark.kernel.fromrdf import from_rdf as k_from_rdf
+    from jsonld_js_spark.kernel.nquads import parse as nq_parse
+    from jsonld_js_spark.kernel.tordf import quads_to_rows, rows_to_quads
+
+    from tests.test_fromrdf_lists import CASES
+
+    all_rows = []
+    expected = {}
+    for name, nq in CASES.items():
+        rows = [(f"case::{name}::{r[0]}",) + r[1:]
+                for r in quads_to_rows(nq_parse(nq))]
+        all_rows.extend(rows)
+        by_graph: dict = {}
+        for row in rows:
+            by_graph.setdefault(row[0], []).append(row)
+        for g, grows in by_graph.items():
+            # kernel sees the original graph name; shells re-namespaced
+            orig = g.split("::", 2)[2]
+            quads = rows_to_quads([(orig,) + r[1:] for r in grows])
+            for node in k_from_rdf(quads):
+                node = dict(node)
+                inner = node.pop("@graph", None)
+                if inner is not None:
+                    for n in inner:
+                        expected[(f"case::{name}::{node['@id']}",
+                                  n["@id"])] = n
+                if len(node) > 1:
+                    expected[(g, node["@id"])] = node
+
+    df = spark.createDataFrame(
+        all_rows, "graph string, subj string, pred string, obj_kind string, "
+                  "obj_value string, obj_datatype string, obj_lang string")
+    got = {(r["graph"], r["subj"]): json.loads(r["node_json"])
+           for r in from_rdf_nodes(df).collect()}
+    assert set(got) == set(expected), (
+        f"key mismatch:\n only_got={sorted(set(got)-set(expected))}\n"
+        f" only_exp={sorted(set(expected)-set(got))}")
+    for key in expected:
+        assert got[key] == expected[key], (
+            f"{key}:\n got={got[key]}\n expected={expected[key]}")
+
+
+def test_from_rdf_nodes_many_groups_no_single_task(spark):
+    """The assembly must not funnel through one group: a default-graph
+    corpus with thousands of subjects assembles correctly (the old
+    implementation degraded to @id shells past max_group_rows)."""
+    import json
+
+    n = 300
+    rows = []
+    for i in range(n):
+        s = f"http://e.org/s{i}"
+        rows.append(("", s, "http://e.org/p", "literal", f"v{i}", None, None))
+        rows.append(("", s, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                     "iri", "http://e.org/T", None, None))
+    df = spark.createDataFrame(
+        rows, "graph string, subj string, pred string, obj_kind string, "
+              "obj_value string, obj_datatype string, obj_lang string")
+    out = from_rdf_nodes(df).collect()
+    assert len(out) == n
+    sample = json.loads(sorted(out, key=lambda r: r["subj"])[0]["node_json"])
+    assert sample["@type"] == ["http://e.org/T"]
+    assert sample["http://e.org/p"] == [{"@value": "v0"}]

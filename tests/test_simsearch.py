@@ -69,12 +69,12 @@ def test_lsh_recall(emb, queries, brute):
 
 def test_lsh_candidates_bounded(emb, queries):
     """The point of LSH: candidate set must be much smaller than N*Q."""
-    from jsonld_js_spark.operators.simsearch import _as_double, _hyperplanes, _signatures
+    from jsonld_js_spark.operators.simsearch import _as_double, _plane_coefs, _signatures
 
-    planes = _hyperplanes(emb.sparkSession, 64, 32)
-    e_sig = _signatures(_as_double(emb, "embedding"), planes,
+    coefs = _plane_coefs(64, 32)
+    e_sig = _signatures(_as_double(emb, "embedding"), coefs,
                         id_col="vec_id", vec_col="embedding", bands=4, bits=32)
-    q_sig = _signatures(_as_double(queries, "embedding"), planes,
+    q_sig = _signatures(_as_double(queries, "embedding"), coefs,
                         id_col="query_id", vec_col="embedding", bands=4, bits=32)
     cand = e_sig.join(q_sig, ["band", "sig"]).select("vec_id", "query_id").distinct()
     n, q = emb.count(), queries.count()
