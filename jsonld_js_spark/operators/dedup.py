@@ -1,0 +1,141 @@
+"""Near-duplicate detection operators — the 100-TB scale path.
+
+``minhash_lsh_pairs`` is the generic MinHash+LSH candidate generator
+behind the ``doc_dedup_minhash_lsh`` driver query, with the one knob
+that query (oracle-matched, so cap-free) cannot expose: a HOT-BUCKET
+CAP. An LSH bucket of size c contributes c·(c-1)/2 candidate pairs;
+a single degenerate bucket (boilerplate, empty-ish docs, template
+spam) turns the whole job quadratic. With ``max_bucket`` set, buckets
+larger than the cap contribute only a star around their smallest
+doc_id (c-1 pairs — every member still pairs with the representative,
+so connected-component dedup keeps the full cluster) and the drop is
+REPORTED, never silent: the returned DataFrame is accompanied by a
+``dropped_buckets`` DataFrame listing (band, sig, size) for every
+capped bucket.
+
+Exact-duplicate token-set classes are collapsed to a min-doc_id
+representative BEFORE hashing (exact dedup belongs before near-dup
+search; at scale the hottest bucket is exactly the exact-dup class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _hash60(col):
+    """md5-hex-prefix -> 60-bit integer (cross-engine reproducible)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_lsh_pairs(docs: DataFrame, *, n_minhash: int = 12,
+                      n_bands: int = 3, threshold: float = 0.5,
+                      max_bucket: int | None = None,
+                      id_col: str = "doc_id",
+                      toks_col: str = "toks") -> tuple[DataFrame, DataFrame]:
+    """(doc1, doc2, jaccard) near-dup pairs + (band, sig, size) capped
+    buckets. ``docs`` carries one row per document with a distinct
+    token array in ``toks_col``."""
+    rows_per_band = n_minhash // n_bands
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(toks_col).alias("toks")).filter(F.size("toks") > 0)
+
+    shape = F.md5(F.concat_ws("\x1f", F.array_sort("toks"))).alias("shape")
+    reps = (d.select("doc_id", "toks", shape)
+            .withColumn("rep", F.min("doc_id").over(Window.partitionBy("shape")))
+            .filter(F.col("doc_id") == F.col("rep"))
+            .select("doc_id", "toks")
+            .cache())
+
+    tok = reps.select("doc_id", F.explode("toks").alias("t"))
+    mins = tok.groupBy("doc_id").agg(*[
+        F.min(_hash60(F.concat(F.lit(f"s{i}|"), F.col("t")))).alias(f"mh{i}")
+        for i in range(n_minhash)])
+    bands = []
+    for b in range(n_bands):
+        sig = F.md5(F.concat_ws(
+            "|", *[F.col(f"mh{b * rows_per_band + r}").cast("string")
+                   for r in range(rows_per_band)]))
+        bands.append(mins.select("doc_id", F.lit(b).alias("band"),
+                                 sig.alias("sig")))
+    buckets = bands[0]
+    for extra in bands[1:]:
+        buckets = buckets.unionByName(extra)
+
+    w = Window.partitionBy("band", "sig")
+    sized = (buckets
+             .withColumn("bsize", F.count(F.lit(1)).over(w))
+             .withColumn("bmin", F.min("doc_id").over(w)))
+    if max_bucket is not None:
+        hot = F.col("bsize") > max_bucket
+        dropped = (sized.filter(hot)
+                   .groupBy("band", "sig")
+                   .agg(F.max("bsize").alias("size")))
+        # hot buckets degrade to a star around the smallest member:
+        # candidate generation stays linear in bucket size and the
+        # cluster stays connected for component-based dedup
+        star = (sized.filter(hot & (F.col("doc_id") != F.col("bmin")))
+                .select(F.col("bmin").alias("doc1"),
+                        F.col("doc_id").alias("doc2")))
+        cold = sized.filter(~hot)
+    else:
+        dropped = sized.filter(F.lit(False)).select(
+            "band", "sig", F.col("bsize").alias("size"))
+        star = None
+        cold = sized
+    cold = cold.select("doc_id", "band", "sig").cache()
+
+    a = cold.alias("a")
+    b_ = cold.alias("b")
+    cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc1"),
+                    F.col("b.doc_id").alias("doc2")))
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
+
+    da = reps.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"))
+    db = reps.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2"))
+    inter = F.size(F.array_intersect("toks1", "toks2"))
+    union = F.size("toks1") + F.size("toks2") - inter
+    pairs = (cand.join(F.broadcast(da), "doc1")
+             .join(F.broadcast(db), "doc2")
+             .select("doc1", "doc2",
+                     F.round(inter / union, 4).alias("jaccard"))
+             .filter(F.col("jaccard") >= threshold))
+    return pairs, dropped
+
+
+def dedup_components(pairs: DataFrame, *, max_iterations: int = 50) -> DataFrame:
+    """(doc_id, component) connected components over near-dup pairs via
+    iterative label propagation (min-id convergence) — the standard
+    Spark shape; iterations scale with component DIAMETER, not corpus
+    size."""
+    edges = (pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+             .unionByName(pairs.select(F.col("doc2").alias("a"),
+                                       F.col("doc1").alias("b"))))
+    labels = (edges.select(F.col("a").alias("node"))
+              .distinct()
+              .withColumn("component", F.col("node")))
+    for _ in range(max_iterations):
+        prop = (edges.join(labels, edges["a"] == labels["node"])
+                .select(F.col("b").alias("node"),
+                        F.col("component")))
+        new_labels = (labels.select("node", "component").unionByName(prop)
+                      .groupBy("node")
+                      .agg(F.min("component").alias("component"))
+                      .localCheckpoint())
+        changed = (new_labels.join(labels.withColumnRenamed("component", "old"),
+                                   "node")
+                   .filter(F.col("component") != F.col("old")))
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_components: no convergence in {max_iterations} rounds")
+    return labels.select(F.col("node").alias("doc_id"), "component")

@@ -483,10 +483,14 @@ def doc_dedup_minhash_lsh(spark, sf_dir):
          .filter(F.size("toks") > 0))
     from pyspark.sql.window import Window
     shape = F.md5(F.concat_ws("\x1f", F.array_sort("toks"))).alias("shape")
+    # reps feeds three consumers (minhash build + both pair sides) and
+    # buckets self-joins — cache both so the doc scan + shape window
+    # run once (at 100 TB: persist(DISK_ONLY) at the same two points)
     reps = (d.select("doc_id", "toks", shape)
             .withColumn("rep", F.min("doc_id").over(Window.partitionBy("shape")))
             .filter(F.col("doc_id") == F.col("rep"))
-            .select("doc_id", "toks"))
+            .select("doc_id", "toks")
+            .cache())
     tok = reps.select("doc_id", F.explode("toks").alias("t"))
     mins = tok.groupBy("doc_id").agg(*[
         F.min(_hash60(F.concat(F.lit(f"s{i}|"), F.col("t")))).alias(f"mh{i}")
@@ -502,6 +506,7 @@ def doc_dedup_minhash_lsh(spark, sf_dir):
     buckets = bands[0]
     for extra in bands[1:]:
         buckets = buckets.unionByName(extra)
+    buckets = buckets.cache()
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -510,11 +515,15 @@ def doc_dedup_minhash_lsh(spark, sf_dir):
             .select(F.col("a.doc_id").alias("doc1"),
                     F.col("b.doc_id").alias("doc2"))
             .distinct())
+    # verify with true Jaccard: |A∩B| once per pair, |A∪B| from sizes
+    # (no union array materialized), reps broadcast to avoid two
+    # shuffles, jaccard computed once then filtered on the column
     da = reps.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"))
     db = reps.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2"))
     inter = F.size(F.array_intersect("toks1", "toks2"))
-    union = F.size(F.array_union("toks1", "toks2"))
-    return (cand.join(da, "doc1").join(db, "doc2")
+    union = F.size("toks1") + F.size("toks2") - inter
+    return (cand.join(F.broadcast(da), "doc1")
+            .join(F.broadcast(db), "doc2")
             .select("doc1", "doc2", F.round(inter / union, 4).alias("jaccard"))
             .filter(F.col("jaccard") >= 0.5))
 
@@ -552,6 +561,79 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
   FROM buckets a JOIN buckets b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+SELECT doc1, doc2,
+       ROUND(CAST(len(list_intersect(d1.toks, d2.toks)) AS DOUBLE)
+             / (len(d1.toks) + len(d2.toks)
+                - len(list_intersect(d1.toks, d2.toks))), 4) AS jaccard
+FROM cand JOIN d d1 ON d1.doc_id = doc1 JOIN d d2 ON d2.doc_id = doc2
+WHERE CAST(len(list_intersect(d1.toks, d2.toks)) AS DOUBLE)
+      / (len(d1.toks) + len(d2.toks) - len(list_intersect(d1.toks, d2.toks)))
+      >= 0.5
+'''
+
+
+_MAX_BUCKET = 20
+
+
+def doc_dedup_minhash_capped(spark, sf_dir):
+    """The 100-TB LSH dedup path (operators/dedup.minhash_lsh_pairs):
+    hot buckets above _MAX_BUCKET degrade to a star around their
+    smallest member (linear, cluster stays connected for component
+    dedup) and the drop is reported via the operator's second return.
+    The oracle replicates the cap + star logic exactly."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", _tokens(F.col("text")).alias("toks")))
+    pairs, _dropped = minhash_lsh_pairs(
+        d, n_minhash=_N_MINHASH, n_bands=_N_BANDS, threshold=0.5,
+        max_bucket=_MAX_BUCKET)
+    return pairs
+
+
+ORACLE_DOC_MINHASH_CAPPED = f'''
+WITH d0 AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS toks
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+d AS (
+  SELECT doc_id, toks FROM (
+    SELECT doc_id, toks,
+           MIN(doc_id) OVER (
+             PARTITION BY md5(array_to_string(list_sort(toks), chr(31))))
+               AS rep
+    FROM d0)
+  WHERE doc_id = rep),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+mins AS (
+  SELECT doc_id,
+         {", ".join(
+             "MIN(CAST(concat('0x', substr(md5('s%d|' || t), 1, 15)) AS UBIGINT))"
+             " AS mh%d" % (i, i) for i in range(_N_MINHASH))}
+  FROM tok GROUP BY doc_id),
+buckets AS (
+  {" UNION ALL ".join(
+      "SELECT doc_id, %d AS band, md5(%s) AS sig FROM mins" % (
+          b, " || '|' || ".join(
+              "CAST(mh%d AS VARCHAR)" % (b * (_N_MINHASH // _N_BANDS) + r)
+              for r in range(_N_MINHASH // _N_BANDS)))
+      for b in range(_N_BANDS))}),
+sized AS (
+  SELECT doc_id, band, sig,
+         COUNT(*) OVER (PARTITION BY band, sig) AS bsize,
+         MIN(doc_id) OVER (PARTITION BY band, sig) AS bmin
+  FROM buckets),
+cand AS (
+  SELECT DISTINCT doc1, doc2 FROM (
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM sized a JOIN sized b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    WHERE a.bsize <= {_MAX_BUCKET} AND b.bsize <= {_MAX_BUCKET}
+    UNION ALL
+    SELECT bmin AS doc1, doc_id AS doc2
+    FROM sized WHERE bsize > {_MAX_BUCKET} AND doc_id <> bmin))
 SELECT doc1, doc2,
        ROUND(CAST(len(list_intersect(d1.toks, d2.toks)) AS DOUBLE)
              / (len(d1.toks) + len(d2.toks)
@@ -1042,6 +1124,8 @@ QUERIES = {
     "doc_dedup_exact": (doc_dedup_exact, ORACLE_DOC_DEDUP_EXACT),
     "doc_dedup_token_jaccard": (doc_dedup_token_jaccard, ORACLE_DOC_JACCARD),
     "doc_dedup_minhash_lsh": (doc_dedup_minhash_lsh, ORACLE_DOC_MINHASH),
+    "doc_dedup_minhash_capped": (doc_dedup_minhash_capped,
+                                 ORACLE_DOC_MINHASH_CAPPED),
     "doc_simhash": (doc_simhash, ORACLE_DOC_SIMHASH),
     "doc_text_stats": (doc_text_stats, ORACLE_DOC_TEXT_STATS),
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
