@@ -18,5 +18,9 @@ from .api import (  # noqa: F401
     flatten,
     frame,
     from_rdf,
+    get,
+    get_context_value,
+    link,
+    process_context_api,
     to_rdf,
 )

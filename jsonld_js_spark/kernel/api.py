@@ -44,19 +44,49 @@ def _prepare(options: dict | None) -> dict:
     return options
 
 
+def _is_url(s) -> bool:
+    return isinstance(s, str) and (s.startswith("http://")
+                                   or s.startswith("https://"))
+
+
 def _parse_input(doc):
     if isinstance(doc, str):
         return json.loads(doc)
     return doc
 
 
+def get(url: str, options: dict | None = None) -> dict:
+    """jsonld.get parity (lib/jsonld.js:560-590): dereference ``url``
+    through options['document_loader'] (kernel/loader.py builds one
+    over in-memory fixtures) -> {contextUrl, documentUrl, document}."""
+    from .loader import get_document
+
+    return get_document(url, _prepare(options))
+
+
 def expand(doc, options: dict | None = None) -> list:
-    """Expand a document to its expanded form (array of node objects)."""
+    """Expand a document to its expanded form (array of node objects).
+
+    A string ``doc`` that looks like an http(s) URL is dereferenced
+    first (lib/jsonld.js:295-310): the resolved documentUrl becomes the
+    default base and a Link-header context is processed before the
+    document's own contexts. (Other strings are parsed as JSON text —
+    the Spark pipeline's convention.)"""
     options = _prepare(options)
+    remote_ctx = None
+    if _is_url(doc):
+        remote = get(doc, options)
+        if "base" not in options:
+            options["base"] = remote.get("documentUrl") or ""
+        if remote.get("contextUrl"):
+            remote_ctx = {"@context": remote["contextUrl"]}
+        doc = remote["document"]
     doc = _parse_input(doc)
     active_ctx = initial_context(options)
     if options.get("expandContext") is not None:
         active_ctx = process_context(active_ctx, options["expandContext"], options)
+    if remote_ctx is not None:
+        active_ctx = process_context(active_ctx, remote_ctx, options)
     expanded = _expand.expand(active_ctx, doc, options)
     # @graph-only unwrap + array normalize (lib/jsonld.js:330-342)
     if isinstance(expanded, dict) and "@graph" in expanded and len(expanded) == 1:
@@ -120,6 +150,22 @@ def frame(doc, frame_doc, options: dict | None = None):
     options.setdefault("embed", "@once")
     options.setdefault("omitGraph", True)
     options.setdefault("pruneBlankNodeIdentifiers", True)
+    if _is_url(doc) and "base" not in options:
+        options["base"] = doc  # lib/jsonld.js:421 (_setDefaults base)
+    if _is_url(frame_doc):
+        # frame by URL: a Link-header context is injected into the
+        # frame's @context (lib/jsonld.js:432-449)
+        remote = get(frame_doc, options)
+        frame_doc = remote["document"]
+        if remote.get("contextUrl"):
+            ctx = frame_doc.get("@context")
+            if not ctx:
+                ctx = remote["contextUrl"]
+            elif isinstance(ctx, list):
+                ctx = ctx + [remote["contextUrl"]]
+            else:
+                ctx = [ctx, remote["contextUrl"]]
+            frame_doc = {**frame_doc, "@context": ctx}
     frame_doc = _parse_input(frame_doc)
     frame_ctx = frame_doc.get("@context", {}) if isinstance(frame_doc, dict) else {}
 
@@ -141,6 +187,51 @@ def frame(doc, frame_doc, options: dict | None = None):
     compacted = _frame.cleanup_preserve(compacted, options)
     compacted = _frame.cleanup_null(compacted, options)
     return compacted
+
+
+def link(doc, ctx=None, options: dict | None = None):
+    """Connect a document's nodes in memory: wildcard frame with
+    ``@embed: @link`` (lib/jsonld.js:513-523)."""
+    frame_doc: dict = {}
+    if ctx:
+        frame_doc["@context"] = ctx
+    frame_doc["@embed"] = "@link"
+    return frame(doc, frame_doc, options)
+
+
+def process_context_api(active_ctx, local_ctx, options: dict | None = None) -> dict:
+    """Public processContext (lib/jsonld.js:933-958): fold a local
+    context into an active context; ``None`` returns the initial
+    context."""
+    options = _prepare(options)
+    if active_ctx is None:
+        active_ctx = initial_context(options)
+    if local_ctx is None:
+        return initial_context(options)
+    if isinstance(local_ctx, dict) and "@context" in local_ctx:
+        local_ctx = local_ctx["@context"]
+    return process_context(active_ctx, local_ctx, options)
+
+
+def get_context_value(ctx: dict, key, type_=None):
+    """Public getContextValue (lib/context.js:1000-1043): the term
+    entry (type_=None), the entry's value for ``type_``, or the
+    context default for @language/@direction; None otherwise."""
+    if key is None:
+        return None
+    m = (ctx.get("mappings") or {}).get(key)
+    if m is not None:
+        if type_ is None:
+            return m
+        if type_ == "@language" and m.get("_has_language"):
+            return m.get("@language")
+        if type_ == "@direction" and m.get("_has_direction"):
+            return m.get("@direction")
+        if type_ in m:
+            return m[type_]
+    if type_ in ("@language", "@direction") and type_ in ctx:
+        return ctx[type_]
+    return None
 
 
 def to_rdf(doc, options: dict | None = None):
@@ -283,3 +374,16 @@ class JsonLdProcessor:
 
     def merge(self, docs, ctx=None, options=None):
         return merge(docs, ctx, self._opts(options))
+
+    def link(self, doc, ctx=None, options=None):
+        return link(doc, ctx, self._opts(options))
+
+    def get(self, url, options=None):
+        return get(url, self._opts(options))
+
+    def process_context(self, active_ctx, local_ctx, options=None):
+        return process_context_api(active_ctx, local_ctx, self._opts(options))
+
+    @staticmethod
+    def get_context_value(ctx, key, type_=None):
+        return get_context_value(ctx, key, type_)

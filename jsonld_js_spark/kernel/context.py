@@ -52,16 +52,29 @@ def _resolve_context_url(url: str, options: dict) -> object:
     url -> parsed remote document (or -> {'@context': ...}).
     """
     loader = options.get("context_loader") or {}
-    if url not in loader:
-        raise JsonLdError(
-            f"Dereferencing a URL did not result in a valid JSON-LD context: {url}",
-            "jsonld.InvalidUrl",
-            code="loading remote context failed",
-        )
-    doc = loader[url]
-    if isinstance(doc, dict) and "@context" in doc:
+    if url in loader:
+        doc = loader[url]
+        if isinstance(doc, dict) and "@context" in doc:
+            return doc["@context"]
+        return doc
+    if callable(options.get("document_loader")):
+        # full loader path (Link headers, redirects — kernel/loader.py);
+        # the reference validates the fetched body is a context object
+        # (lib/ContextResolver.js:170-186)
+        from .loader import get_document
+
+        remote = get_document(url, options)
+        doc = remote.get("document")
+        if not isinstance(doc, dict) or "@context" not in doc:
+            raise syntax_error(
+                f"Dereferencing a URL did not result in a valid JSON-LD "
+                f"context: {url}", "invalid remote context")
         return doc["@context"]
-    return doc
+    raise JsonLdError(
+        f"Dereferencing a URL did not result in a valid JSON-LD context: {url}",
+        "jsonld.InvalidUrl",
+        code="loading remote context failed",
+    )
 
 
 _PROCESSED_CACHE: dict = {}
@@ -77,6 +90,9 @@ def _ctx_cache_key(active_ctx, local_ctx, options, override_protected, propagate
     import json
 
     fp = active_ctx.get("_fp", "init")
+    if callable(options.get("document_loader")):
+        # custom loader: responses aren't part of the key — don't cache
+        return None
     try:
         local_key = json.dumps(local_ctx, sort_keys=True, default=None)
     except (TypeError, ValueError):
@@ -89,9 +105,14 @@ def _ctx_cache_key(active_ctx, local_ctx, options, override_protected, propagate
 
 def process_context(active_ctx: dict, local_ctx, options: dict | None = None, *,
                     override_protected: bool = False, propagate: bool = True,
-                    validate_scoped: bool = True, _remote_cycle: frozenset = frozenset()) -> dict:
+                    validate_scoped: bool = True, _remote_cycle: frozenset = frozenset(),
+                    _remote_seen: set | None = None) -> dict:
     """Fold ``local_ctx`` into ``active_ctx``; returns a NEW context."""
     options = options or {}
+    if _remote_seen is None:
+        # per-resolve-op distinct remote URL counter — the reference's
+        # shared `cycles` set (lib/ContextResolver.js:33,131-139)
+        _remote_seen = set()
     cache_key = None
     if not _remote_cycle and options.get("cache_contexts", True):
         cache_key = _ctx_cache_key(active_ctx, local_ctx, options, override_protected, propagate)
@@ -102,7 +123,8 @@ def process_context(active_ctx: dict, local_ctx, options: dict | None = None, *,
     rval = _process_context_impl(
         active_ctx, local_ctx, options,
         override_protected=override_protected, propagate=propagate,
-        validate_scoped=validate_scoped, _remote_cycle=_remote_cycle)
+        validate_scoped=validate_scoped, _remote_cycle=_remote_cycle,
+        _remote_seen=_remote_seen)
     if cache_key is not None and rval is not active_ctx:
         import hashlib
 
@@ -115,7 +137,10 @@ def process_context(active_ctx: dict, local_ctx, options: dict | None = None, *,
 def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = None, *,
                           override_protected: bool = False, propagate: bool = True,
                           validate_scoped: bool = True,
-                          _remote_cycle: frozenset = frozenset()) -> dict:
+                          _remote_cycle: frozenset = frozenset(),
+                          _remote_seen: set | None = None) -> dict:
+    if _remote_seen is None:
+        _remote_seen = set()
     options = options or {}
     if local_ctx is None:
         local_ctx = [None]
@@ -141,15 +166,29 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
             continue
 
         if isinstance(ctx, str):
-            if ctx in _remote_cycle:
-                raise syntax_error(f"Cyclical @context URLs detected: {ctx}", "recursive context inclusion")
+            # cycle + count guards, lib/ContextResolver.js:18,131-160:
+            # MAX_CONTEXT_URLS=10 per resolve op; the error code depends
+            # on processing mode exactly as in the reference
+            _mode10 = options.get("processingMode") == "json-ld-1.0"
             url = prepend_base(rval.get("@base"), ctx)
+            if len(_remote_seen) > 10:
+                raise syntax_error(
+                    "Maximum number of @context URLs exceeded.",
+                    "loading remote context failed" if _mode10
+                    else "context overflow", max=10)
+            if url in _remote_cycle:
+                raise syntax_error(
+                    f"Cyclical @context URLs detected: {ctx}",
+                    "recursive context inclusion" if _mode10
+                    else "context overflow")
+            _remote_seen.add(url)
             resolved = _resolve_context_url(url, options)
             rval = process_context(
                 rval, resolved, options,
                 override_protected=override_protected, propagate=propagate,
                 validate_scoped=validate_scoped,
-                _remote_cycle=_remote_cycle | {ctx, url})
+                _remote_cycle=_remote_cycle | {url},
+                _remote_seen=_remote_seen)
             continue
 
         if not isinstance(ctx, dict):

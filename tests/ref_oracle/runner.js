@@ -26,9 +26,45 @@ rl.on('line', line => {
       if (req.collectEvents) {
         opts.eventHandler = ({event}) => { events.push({code: event.code, level: event.level}); };
       }
+      // optional fixture document table: url -> {document, documentUrl?,
+      // contextUrl?} — the reference's local-test-server pattern
+      // (tests/test-server.js); exercises remote-doc + remote-context
+      // resolution (ContextResolver cycles/limits, link-header context
+      // injection) with the real reference code, no HTTP
+      if (req.documents) {
+        opts.documentLoader = async url => {
+          const d = req.documents[url];
+          if (!d) {
+            const JsonLdError = require('/root/reference/lib/JsonLdError.js');
+            throw new JsonLdError(
+              `URL "${url}" could not be dereferenced: Not Found`,
+              'jsonld.InvalidUrl', {code: 'loading document failed', url});
+          }
+          return {contextUrl: d.contextUrl || null,
+                  documentUrl: d.documentUrl || url,
+                  document: d.document};
+        };
+      }
       let result;
       switch (req.op) {
         case 'expand': result = await jsonld.expand(req.doc, opts); break;
+        case 'link': result = await jsonld.link(req.doc, req.ctx || null, opts); break;
+        case 'processContext': {
+          const active = await jsonld.processContext(null, null, opts);
+          const out = await jsonld.processContext(active, req.ctx, opts);
+          // serialize the bits our kernel also exposes
+          result = {
+            mappingKeys: [...out.mappings.keys()].sort(),
+            vocab: out['@vocab'] || null,
+            language: out['@language'] || null,
+          };
+          break;
+        }
+        case 'parseLinkHeader': {
+          const util = require('/root/reference/lib/util.js');
+          result = util.parseLinkHeader(req.header);
+          break;
+        }
         case 'toRDF':
           result = await jsonld.toRDF(req.doc, {format: 'application/n-quads', ...opts});
           break;
