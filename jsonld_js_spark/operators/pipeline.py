@@ -327,10 +327,11 @@ def materialize_graph(triples: DataFrame, path: str, *, buckets: int = 64,
                       fmt: str = "parquet") -> None:
     """Write the triples table partitioned by subject-hash bucket.
 
-    On a cluster with an Iceberg catalog this is
-    ``bucket(N, subj_hash)`` table partitioning (north_star); locally
-    we materialize the same layout as a `subj_bucket` partition column
-    over parquet so downstream graph queries prune + co-locate.
+    On a cluster with an Iceberg catalog use
+    :func:`materialize_graph_iceberg` (``bucket(N, subj)`` hidden
+    partitioning, the north_star layout); locally we materialize the
+    same layout as a `subj_bucket` partition column over parquet so
+    downstream graph queries prune + co-locate.
     """
     (triples
      .withColumn("subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(buckets)))
@@ -340,3 +341,41 @@ def materialize_graph(triples: DataFrame, path: str, *, buckets: int = 64,
      .partitionBy("subj_bucket")
      .format(fmt)
      .save(path))
+
+
+def materialize_graph_iceberg(triples: DataFrame, table: str, *,
+                              buckets: int = 64,
+                              mode: str = "createOrReplace") -> None:
+    """Iceberg-native KG sink: ``bucket(N, subj)`` hidden partitioning
+    with snapshot isolation — the cluster-side twin of
+    :func:`materialize_graph`.
+
+    ``table`` is a catalog-qualified name (``catalog.db.triples``); the
+    session must carry an Iceberg catalog config
+    (``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``
+    + the iceberg-spark-runtime jar). Raises a RuntimeError naming the
+    missing prerequisite when no such catalog is reachable — this
+    sandbox has no Iceberg jars, so only the error path is testable
+    here; the DataFrame-side plan (bucket repartition + local sort) is
+    identical to the parquet twin and is covered by its tests.
+    """
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql.utils import AnalysisException
+
+    writer = (triples
+              .repartition(buckets, F.expr(f"xxhash64(subj) % {buckets}"))
+              .sortWithinPartitions("subj", "pred")
+              .writeTo(table)
+              .partitionedBy(F.bucket(buckets, F.col("subj")))
+              .using("iceberg"))
+    try:
+        if mode == "append":
+            writer.append()
+        else:
+            writer.createOrReplace()
+    except (AnalysisException, Py4JJavaError) as e:
+        raise RuntimeError(
+            f"Iceberg sink unavailable for table {table!r}: configure an "
+            f"Iceberg catalog (spark.sql.catalog.*) and ship "
+            f"iceberg-spark-runtime on the cluster classpath. "
+            f"Underlying error: {e}") from e

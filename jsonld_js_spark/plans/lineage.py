@@ -55,11 +55,19 @@ def run_resumable(transcripts: DataFrame, out_dir: str, *,
     ``max_groups`` processes at most that many pending groups (the
     test's stand-in for a mid-job kill). Returns run metrics.
     """
+    from pyspark.sql import Observation
+
     from ..operators.pipeline import extract_triples
 
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
     done = completed_groups(out_dir)
     tagged = transcripts.withColumn("part_group", _group_col(n_groups))
+
+    # per-group input sizes in ONE pass over the corpus (amortized
+    # across all groups, instead of a count per group)
+    turn_counts = {r["part_group"]: r["n"]
+                   for r in tagged.groupBy("part_group")
+                   .agg(F.count(F.lit(1)).alias("n")).collect()}
 
     processed = []
     for g in range(n_groups):
@@ -68,24 +76,32 @@ def run_resumable(transcripts: DataFrame, out_dir: str, *,
         if max_groups is not None and len(processed) >= max_groups:
             break
         part = tagged.filter(F.col("part_group") == g).drop("part_group")
-        extracted = extract_triples(part, canonicalize=canonicalize).cache()
-        triples = extracted.filter(F.col("kind") == "triple").drop("kind")
-        n_triples = triples.count()
-        n_warnings = extracted.filter(F.col("kind") == "warning").count()
-        n_turns = part.count()
-        # deterministic content fingerprint for the lineage row
-        # per-row hash bounded to 2^31 so the sum cannot overflow int64
-        # under ANSI mode even at 2^32 rows per group
-        fp = (triples
-              .select(F.sum(F.pmod(
-                  F.xxhash64("conv_id", "turn_idx", "graph", "subj",
-                             "pred", "obj_kind", "obj_value"),
-                  F.lit(2_147_483_647))).alias("fp")).collect()[0]["fp"]) or 0
+        # ALL metrics ride the write job as observations — one pass per
+        # group total, no cache, no separate count/fingerprint actions.
+        # Per-row hash bounded to 2^31 so the fingerprint sum cannot
+        # overflow int64 under ANSI mode even at 2^32 rows per group.
+        obs_ext = Observation(f"lineage_ext_{g}")
+        obs_tri = Observation(f"lineage_tri_{g}")
+        extracted = extract_triples(part, canonicalize=canonicalize).observe(
+            obs_ext,
+            F.sum(F.when(F.col("kind") == "warning", 1).otherwise(0))
+            .alias("n_warnings"))
+        triples = (extracted.filter(F.col("kind") == "triple").drop("kind")
+                   .observe(
+                       obs_tri,
+                       F.count(F.lit(1)).alias("n_triples"),
+                       F.sum(F.pmod(
+                           F.xxhash64("conv_id", "turn_idx", "graph", "subj",
+                                      "pred", "obj_kind", "obj_value"),
+                           F.lit(2_147_483_647))).alias("fp")))
         data_path = os.path.join(out_dir, "data", f"part_group={g}")
         (triples.repartition(1).sortWithinPartitions(
             "conv_id", "turn_idx", "subj", "pred", "obj_value")
             .write.mode("overwrite").parquet(data_path))
-        extracted.unpersist()
+        n_turns = int(turn_counts.get(g, 0))
+        n_triples = int(obs_tri.get["n_triples"])
+        n_warnings = int(obs_ext.get["n_warnings"] or 0)
+        fp = int(obs_tri.get["fp"] or 0)
         # manifest written only after the data commit
         row = {"part_group": g, "n_turns": n_turns, "n_triples": n_triples,
                "n_warnings": n_warnings, "fingerprint": int(fp)}

@@ -176,3 +176,19 @@ def test_turn_to_quads_driver_parity(transcripts, extracted):
         assert not events
         assert sorted(quads_to_rows(quads)) == sorted(
             by_turn.get((t["conv_id"], t["turn_idx"]), []))
+
+
+def test_materialize_graph_iceberg_raises_without_catalog(spark, transcripts):
+    """The Iceberg sink is gated on a configured catalog; without the
+    iceberg-spark-runtime jar it must fail loudly with guidance (this
+    sandbox has no Iceberg jars — the DataFrame-side plan is shared
+    with the parquet twin)."""
+    from jsonld_js_spark.operators.pipeline import (
+        extract_triples,
+        materialize_graph_iceberg,
+        triples_only,
+    )
+
+    tri = triples_only(extract_triples(transcripts.limit(50)))
+    with pytest.raises(RuntimeError, match="Iceberg sink unavailable"):
+        materialize_graph_iceberg(tri, "nocatalog.db.triples", buckets=4)
