@@ -314,9 +314,11 @@ def _frame(state: _State, subjects, frame, parent, prop=None) -> None:
             _add_value(state.bnode_map, sid, output, property_is_array=True)
         link[sid] = output
 
-        if flags["embed"] in ("@first", "@last") and \
-                options.get("is11", True):
-            raise syntax_error("invalid value of @embed.", "invalid @embed value")
+        # Reference quirk replicated: lib/frame.js:130 intends to reject
+        # @first/@last in 1.1 mode, but it reads `state.is11` while the
+        # flag is only ever set on `options` (lib/jsonld.js:479) — the
+        # check never fires, so the reference ACCEPTS @first/@last in
+        # every mode (verified against the runner; tests/test_frame_embed.py).
 
         if not state.embedded and sid in unique:
             continue  # already embedded under another top-level node

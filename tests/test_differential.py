@@ -477,7 +477,7 @@ def _rand_frame_case(rng: random.Random):
     if rng.random() < 0.4:
         frame[f"p{rng.randrange(3)}"] = {}
     if rng.random() < 0.3:
-        frame["@embed"] = rng.choice(["@once", "@always", "@never"])
+        frame["@embed"] = rng.choice(["@once", "@always", "@never", "@first", "@last"])
     if rng.random() < 0.2:
         frame["@explicit"] = True
     if rng.random() < 0.2:
