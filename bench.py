@@ -21,7 +21,7 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "50000"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
 
     from jsonld_js_spark.operators.pipeline import extract_triples, triples_only

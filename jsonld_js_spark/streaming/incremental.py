@@ -98,3 +98,43 @@ def stream_windowed_mentions(triples_stream: DataFrame,
     return (with_ts
             .groupBy(F.window("ts", "5 minutes"), "entity_id")
             .agg(F.count(F.lit(1)).alias("mentions")))
+
+
+def stream_dedup_turns(transcripts_stream: DataFrame, *,
+                       state_ttl_minutes: int = 60) -> DataFrame:
+    """Exactly-once turn processing across micro-batches: a CUSTOM
+    STATEFUL operator via applyInPandasWithState. State per conv_id is
+    the set of turn_idx values already emitted; replayed/duplicated
+    turns (at-least-once sources re-deliver on recovery) are dropped
+    before the expensive extraction stage. State expires after
+    ``state_ttl_minutes`` of processing-time inactivity so the store
+    stays bounded by ACTIVE conversations, not corpus history.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = TRANSCRIPT_SCHEMA
+    state_schema = "seen array<int>"
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            fresh = pdf[~pdf["turn_idx"].isin(seen)]
+            # first occurrence within the batch wins, too
+            fresh = fresh.drop_duplicates(subset=["turn_idx"], keep="first")
+            if len(fresh):
+                seen.update(int(t) for t in fresh["turn_idx"])
+                yield fresh
+        state.update((sorted(seen),))
+        state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
+
+    return (transcripts_stream
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                dedup, outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

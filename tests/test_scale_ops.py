@@ -154,3 +154,32 @@ def test_structured_streaming_extract(spark, transcripts, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS n FROM tri_stream").collect()[0]["n"]
     assert got > 0
+
+
+def test_stream_dedup_turns_exactly_once(spark, transcripts, tmp_path):
+    """applyInPandasWithState custom stateful op: replayed turns are
+    dropped across micro-batches (at-least-once -> exactly-once)."""
+    import os
+
+    from jsonld_js_spark.streaming.incremental import stream_dedup_turns
+    from jsonld_js_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    small = transcripts.filter(F.col("conv_id").isin(
+        "conv-000005", "conv-000006")).cache()
+    n_unique = small.count()
+    # batch 1: full data; batch 2: a replay of the same rows (dupes)
+    small.write.parquet(os.path.join(in_dir, "b1"))
+    small.write.parquet(os.path.join(in_dir, "b2"))
+
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(in_dir + "/*"))
+    q = (stream_dedup_turns(stream)
+         .writeStream.format("memory").queryName("dedup_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT conv_id, turn_idx FROM dedup_stream").collect()
+    assert len(got) == n_unique, f"{len(got)} != {n_unique}"
+    assert len({(r['conv_id'], r['turn_idx']) for r in got}) == n_unique
