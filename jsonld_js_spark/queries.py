@@ -1075,6 +1075,43 @@ FROM base
 """
 
 
+def kg_entity_link_documents(spark, sf_dir):
+    """Salted-key entity linking (operators/entity_link.py) over the
+    documents table with a full hash-level oracle: the deterministic
+    entity dictionary (sha256-suffixed surfaces) and the tokenizer are
+    both replicated in DuckDB SQL, so the driver checks the mention
+    join itself — the north-star linking stage — value for value."""
+    from .operators.entity_link import link_entities
+    from .sources.entities import entities_df
+
+    d = load(spark, sf_dir, "documents")
+    tx = d.select(F.col("doc_id").cast("string").alias("conv_id"),
+                  F.lit(0).cast("int").alias("turn_idx"),
+                  "text")
+    ents = entities_df(spark, 1000)
+    return link_entities(tx, ents, strategy="salted", n_salt=8)
+
+
+ORACLE_KG_ENTITY_LINK = """
+WITH ents AS (
+  SELECT 'https://example.org/ent/' || k AS entity_id,
+         CASE WHEN k < 10 THEN
+           ['spark','graph','partitions','executors','arrow',
+            'batches','shuffles','keys','tools','turns'][CAST(k AS INT) + 1]
+         ELSE 'entity_' || substr(sha256('ent42:' || k), 1, 8) END AS surface,
+         ['topic','tool','person'][CAST(k % 3 AS INT) + 1] AS kind
+  FROM range(1000) t(k)),
+toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id, CAST(0 AS INT) AS turn_idx,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9_]+'),
+             x -> x <> ''))) AS token
+  FROM documents)
+SELECT DISTINCT conv_id, turn_idx, entity_id, kind
+FROM toks JOIN ents ON token = lower(surface)
+"""
+
+
 def kg_full_build(spark, sf_dir):
     """The complete north-star pipeline in one plan: synthesize
     transcripts -> fused extract with per-document RDFC-1.0
@@ -1120,6 +1157,8 @@ QUERIES = {
     "kg_canonize_transcripts": (kg_canonize_transcripts, None),
     "kg_extract_documents": (kg_extract_documents, ORACLE_KG_EXTRACT_DOCS),
     "kg_canonize_documents": (kg_canonize_documents, ORACLE_KG_CANONIZE_DOCS),
+    "kg_entity_link_documents": (kg_entity_link_documents,
+                                 ORACLE_KG_ENTITY_LINK),
     "kg_full_build": (kg_full_build, None),
     "doc_dedup_exact": (doc_dedup_exact, ORACLE_DOC_DEDUP_EXACT),
     "doc_dedup_token_jaccard": (doc_dedup_token_jaccard, ORACLE_DOC_JACCARD),
