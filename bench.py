@@ -24,7 +24,7 @@ def main() -> None:
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
 
-    from jsonld_js_spark.operators.pipeline import extract_triples, triples_only
+    from jsonld_js_spark.operators.pipeline import extract_triples_hybrid, triples_only
     from jsonld_js_spark.queries import QUERIES
     from jsonld_js_spark.session import build_session
     from jsonld_js_spark.sources.transcripts import synthesize_transcripts
@@ -33,7 +33,11 @@ def main() -> None:
                           shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
-    # headline: KG extraction throughput over the transcript corpus
+    # headline: KG extraction throughput over the transcript corpus,
+    # measured on the SCALE PATH (extract_triples_hybrid: plain turns
+    # stay in whole-stage codegen, only embedded-doc/tool turns cross
+    # into the Arrow kernel; parity with extract_triples is asserted
+    # in tests/test_hybrid.py)
     tx = synthesize_transcripts(spark, n_convs, seed=42).cache()
     n_turns = tx.count()  # materialize input outside the timed region
     # FULL-SIZE warmup: a 3% sample left ~6s of python-worker fork +
@@ -43,9 +47,9 @@ def main() -> None:
     # One complete untimed pass amortizes every fixed cost; the timed
     # pass then measures the marginal rate — the number that predicts
     # cluster throughput.
-    triples_only(extract_triples(tx)).count()
+    triples_only(extract_triples_hybrid(tx)).count()
     t0 = time.perf_counter()
-    n_triples = triples_only(extract_triples(tx)).count()
+    n_triples = triples_only(extract_triples_hybrid(tx)).count()
     extract_sec = time.perf_counter() - t0
     triples_per_sec = n_triples / extract_sec if extract_sec > 0 else 0.0
     tx.unpersist()
@@ -55,6 +59,8 @@ def main() -> None:
     for name, (fn, _sql) in QUERIES.items():
         if name in skip:
             continue
+        # isolate each query's measurement: no cross-query cache reuse
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
