@@ -349,14 +349,17 @@ def compact_value(active_ctx, active_property, value, options):
         if not preserve_index and t != "@none":
             if value.get("@type") == t and "@type" in value:
                 return value["@value"]
+            # NOTE reference quirk (lib/compact.js:973-981): a matching
+            # @language alone (or @direction alone) compacts to a plain
+            # string even when the OTHER of the two does not match the
+            # context default — the mismatching component is silently
+            # dropped. Replicated exactly.
             if ("@language" in value and value["@language"] == language
                     and "@direction" in value and value.get("@direction") == direction):
                 return value["@value"]
-            if "@language" in value and value["@language"] == language \
-                    and "@direction" not in value:
+            if "@language" in value and value["@language"] == language:
                 return value["@value"]
-            if "@direction" in value and value.get("@direction") == direction \
-                    and "@language" not in value:
+            if "@direction" in value and value.get("@direction") == direction:
                 return value["@value"]
 
         key_count = len(value)

@@ -40,6 +40,16 @@ def _clone_ctx(ctx: dict) -> dict:
     out = dict(ctx)
     out["mappings"] = dict(ctx["mappings"])
     out["_protected"] = set(ctx.get("_protected", ()))
+    # Reference quirk replicated: _cloneActiveContext copies @base,
+    # @language and @vocab but NOT @direction (lib/context.js:1222-1243)
+    # — the default base direction is silently dropped whenever any
+    # local context is processed, INCLUDING from the stored
+    # previousContext (the clone recurses into it), so a later revert
+    # restores a direction-stripped context. Verified against the
+    # reference (tests/test_differential.py grammar-4).
+    out["@direction"] = None
+    if out.get("previousContext"):
+        out["previousContext"] = _clone_ctx(out["previousContext"])
     return out
 
 
@@ -161,8 +171,10 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
             rval = initial_context(options)
             rval["@base"] = prev.get("original_base")
             rval["original_base"] = prev.get("original_base")
-            if not propagate:
-                rval["previousContext"] = prev
+            # Reference quirk: the null-reset DISCARDS any pending
+            # previousContext even under propagate:false (the spec
+            # would keep it) — lib/context.js:119-130 replaces the
+            # cloned rval wholesale. Verified differentially.
             continue
 
         if isinstance(ctx, str):
@@ -220,11 +232,19 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
 
         if "@propagate" in ctx:
             p = ctx["@propagate"]
+            if options.get("processingMode") == "json-ld-1.0":
+                raise syntax_error(
+                    "@propagate not compatible with json-ld-1.0",
+                    "invalid context entry")
             if not isinstance(p, bool):
                 raise syntax_error("@propagate must be boolean.", "invalid @propagate value")
             propagate = p
         if not propagate and rval.get("previousContext") is None:
-            rval["previousContext"] = active_ctx
+            # stored as a direction-stripped clone: the reference
+            # assigns the raw context pre-loop, then the per-context
+            # clone recursively strips @direction from it
+            # (lib/context.js:106-110,164 + _cloneActiveContext)
+            rval["previousContext"] = _clone_ctx(active_ctx)
 
         if "@base" in ctx:
             base = ctx["@base"]

@@ -56,6 +56,7 @@ def _add_value(obj: dict, key: str, value, *, as_array: bool = True, allow_dupli
 
 def expand(active_ctx: dict, element, options: dict, *,
            active_property: str | None = None, inside_list: bool = False,
+           inside_index: bool = False,
            type_scoped_context: dict | None = None) -> object:
     """Expansion Algorithm. Returns expanded element (possibly None)."""
     if element is None:
@@ -80,7 +81,8 @@ def expand(active_ctx: dict, element, options: dict, *,
         rval = []
         for item in element:
             e = expand(active_ctx, item, options, active_property=active_property,
-                       inside_list=False, type_scoped_context=type_scoped_context)
+                       inside_list=False, inside_index=inside_index,
+                       type_scoped_context=type_scoped_context)
             if inside_list and isinstance(e, list):
                 e = {"@list": e}
             if e is None:
@@ -95,35 +97,65 @@ def expand(active_ctx: dict, element, options: dict, *,
     if not isinstance(element, dict):  # pragma: no cover
         raise syntax_error("Unexpected element type.", "invalid input")
 
-    # revert non-propagated context unless starting a new node via @value/
-    # subject reference (lib/expand.js:165-199)
-    keys0 = list(element.keys())
-    expanded_keys = {
-        k: expand_iri(active_ctx, k, vocab=True) for k in keys0 if k != "@context"
-    }
-    must_revert = "@context" not in element
-    if must_revert and active_ctx.get("previousContext") and not any(
-            v in ("@value", "@id") and len(keys0) == 1 for v in expanded_keys.values()):
+    # The reference's entry sequence (lib/expand.js:160-216), exactly:
+    # 1. capture any property-scoped context for the active property
+    #    BEFORE reverting;
+    # 2. revert a non-propagated (type-scoped or @propagate:false)
+    #    context unless inside an index expansion or the element is a
+    #    value object / lone subject reference (checked against the
+    #    TYPE-SCOPED context, <=2 keys, no @context);
+    # 3. re-apply the property-scoped context (propagate defaults true,
+    #    protected terms overridable);
+    # 4. process the element's own @context;
+    # 5. snapshot the post-@context state as the type-scoped context
+    #    and fold in @type-scoped contexts (sorted types, propagate
+    #    false).
+    has_prop_scoped = prop_mapping is not None and "@context" in prop_mapping
+    property_scoped_ctx = prop_mapping["@context"] if has_prop_scoped else None
+
+    keys0 = sorted(element.keys())
+    type_scoped_context = type_scoped_context or (
+        active_ctx if active_ctx.get("previousContext") else None)
+    must_revert = not inside_index
+    if must_revert and type_scoped_context and len(keys0) <= 2 \
+            and "@context" not in keys0:
+        for k in keys0:
+            exp = expand_iri(type_scoped_context, k, vocab=True)
+            if exp == "@value":
+                must_revert = False
+                active_ctx = type_scoped_context
+                break
+            if exp == "@id" and len(keys0) == 1:
+                must_revert = False
+                break
+    if must_revert:
         active_ctx = revert_to_previous(active_ctx)
+
+    if has_prop_scoped:
+        # an explicit null scoped context resets to the initial context
+        active_ctx = process_context(active_ctx, property_scoped_ctx, options,
+                                     override_protected=True)
 
     # local context
     if "@context" in element:
         active_ctx = process_context(active_ctx, element["@context"], options)
 
+    # the type-scoped context for @type lookups is the context on input
+    type_scoped_ctx = active_ctx
+
     # find @type keys (ordered) and apply type-scoped contexts
     type_key = None
     type_vals: list[str] = []
-    for k in sorted(element.keys()):
+    for k in keys0:
         if expand_iri(active_ctx, k, vocab=True) == "@type":
             if type_key is None:
                 type_key = k
             tv = element[k]
             tvs = tv if isinstance(tv, list) else [tv]
             type_vals.extend(t for t in tvs if isinstance(t, str))
-    type_scoped_ctx = type_scoped_context or active_ctx
     for t in sorted(type_vals):
         m = type_scoped_ctx["mappings"].get(t)
-        if m and m.get("@context") is not None:
+        if m and "@context" in m:
             active_ctx = process_context(active_ctx, m["@context"], options, propagate=False)
 
     rval: dict = {}
@@ -328,9 +360,9 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
         # --- regular property
         mapping = active_ctx["mappings"].get(key) or {}
         container = mapping.get("@container", [])
-        # property-scoped context
+        # property-scoped context (an explicit null counts — it resets)
         term_ctx = active_ctx
-        if mapping.get("@context") is not None:
+        if "@context" in mapping:
             term_ctx = process_context(active_ctx, mapping["@context"], options,
                                        override_protected=True)
 
@@ -462,12 +494,13 @@ def _expand_index_map(active_ctx, key, value, options, *, index_key,
     for k in sorted(value.keys()):
         ctx = active_ctx
         if is_type_index:
-            kctx = selected_term_ctx(active_ctx, k)
-            if kctx is not None:
-                ctx = process_context(active_ctx, kctx, options, propagate=False)
+            m = active_ctx["mappings"].get(k)
+            if m and "@context" in m:
+                ctx = process_context(active_ctx, m["@context"], options,
+                                      propagate=False)
         vals = value[k] if isinstance(value[k], list) else [value[k]]
         expanded = expand(ctx, vals, options, active_property=key,
-                          inside_list=False)
+                          inside_list=False, inside_index=True)
 
         if property_index:
             if k == "@none":

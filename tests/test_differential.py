@@ -805,3 +805,103 @@ def test_grammar3_matches_reference(oracle, op, doc):
                 f"mine={json.dumps(mine, sort_keys=True)}\nref ={json.dumps(ref['result'], sort_keys=True)}"
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference succeeded"
+
+
+def _rand_doc4(rng: random.Random):
+    """Fourth grammar: property- and type-scoped contexts, @propagate,
+    @protected, @prefix terms, @container @graph combos, @direction,
+    reverse containers — the 1.1 context machinery under load."""
+    ctx: dict = {"@vocab": V}
+    doc: dict = {}
+
+    if rng.random() < 0.5:
+        ctx["@direction"] = rng.choice(["ltr", "rtl"])
+    if rng.random() < 0.4:
+        ctx["@language"] = rng.choice(["en", "de"])
+    # property-scoped context, sometimes non-propagating
+    if rng.random() < 0.7:
+        scoped = {"inner": V + f"inner{rng.randrange(2)}"}
+        if rng.random() < 0.5:
+            scoped["@propagate"] = rng.random() < 0.5
+        ctx["holder"] = {"@id": V + "holder", "@context": scoped}
+        doc["holder"] = {"inner": f"iv{rng.randrange(3)}",
+                         "deep": {"inner": "second-level"}} \
+            if rng.random() < 0.5 else {"inner": "iv"}
+    # type-scoped context (propagate defaults FALSE for type-scoped)
+    if rng.random() < 0.6:
+        ctx[f"Typ{rng.randrange(2)}"] = {
+            "@id": V + f"Typ{rng.randrange(2)}",
+            "@context": {"tprop": V + f"tscoped{rng.randrange(2)}"}}
+        node = {"@type": f"Typ{rng.randrange(2)}", "tprop": "tv",
+                "child": {"tprop": "should-fall-back"}}
+        doc[f"p{rng.randrange(2)}"] = node
+    # protected terms
+    if rng.random() < 0.4:
+        ctx["prot"] = {"@id": V + "prot", "@protected": True}
+        doc["prot"] = "pv"
+        if rng.random() < 0.5:
+            # attempted override in a nested context -> error case
+            doc["holder2"] = {"@context": {"prot": V + "other"},
+                              "prot": "override"}
+            ctx["holder2"] = V + "holder2"
+    # @prefix term used as CURIE prefix
+    if rng.random() < 0.5:
+        ctx["pre"] = {"@id": "http://prefix.org/ns#",
+                      "@prefix": rng.random() < 0.5}
+        doc[f"pre:local{rng.randrange(2)}"] = "curie-value"
+    # @container @graph (+@id / +@index)
+    if rng.random() < 0.5:
+        combo = rng.choice([["@graph"], ["@graph", "@id"],
+                            ["@graph", "@index"], ["@graph", "@set"]])
+        ctx["gc"] = {"@id": V + "gc", "@container": combo}
+        if "@id" in combo:
+            doc["gc"] = {EX + "g1": {"a": "1"}, EX + "g2": {"a": "2"}}
+        elif "@index" in combo:
+            doc["gc"] = {"i1": {"a": "1"}, "i2": {"a": "2"}}
+        else:
+            doc["gc"] = {"a": "inside-graph"}
+    # per-term @direction
+    if rng.random() < 0.4:
+        ctx["dirterm"] = {"@id": V + "dir",
+                          "@direction": rng.choice(["ltr", "rtl", None])}
+        doc["dirterm"] = "text"
+    # reverse container
+    if rng.random() < 0.3:
+        ctx["children"] = {"@reverse": V + "parentOf", "@type": "@id"}
+        doc["children"] = EX + f"kid{rng.randrange(2)}"
+    if rng.random() < 0.7:
+        doc["@id"] = EX + f"s{rng.randrange(3)}"
+    doc["@context"] = ctx
+    return doc
+
+
+GRAMMAR4 = [_rand_doc4(random.Random(40_000 + s)) for s in range(60)]
+
+
+@pytest.mark.parametrize("doc", GRAMMAR4,
+                         ids=[f"g4_{i}" for i in range(len(GRAMMAR4))])
+@pytest.mark.parametrize("op", ["expand", "toRDF", "flatten", "compact"])
+def test_grammar4_matches_reference(oracle, op, doc):
+    from jsonld_js_spark.kernel import compact as k_compact
+    from jsonld_js_spark.kernel import flatten as k_flat
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc, ctx={"@context": doc["@context"]})
+    else:
+        ref = oracle.call(op, doc=doc)
+    try:
+        if op == "expand":
+            mine = k_expand(doc)
+        elif op == "toRDF":
+            mine = k_trd(doc, {"format": "application/n-quads"})
+        elif op == "flatten":
+            mine = k_flat(doc)
+        else:
+            mine = k_compact(doc, doc["@context"])
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True, default=str)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
