@@ -41,6 +41,9 @@ def _prepare(options: dict | None) -> dict:
     options = dict(options or {})
     options.setdefault("processingMode", "json-ld-1.1")
     options.setdefault("events", [])
+    # jsonld.expand defaults base to '' when unset (lib/jsonld.js:307)
+    # — an empty base still dot-normalizes relative IRIs
+    options.setdefault("base", "")
     return options
 
 
@@ -72,11 +75,12 @@ def expand(doc, options: dict | None = None) -> list:
     default base and a Link-header context is processed before the
     document's own contexts. (Other strings are parsed as JSON text —
     the Spark pipeline's convention.)"""
+    had_base = options is not None and "base" in options
     options = _prepare(options)
     remote_ctx = None
     if _is_url(doc):
         remote = get(doc, options)
-        if "base" not in options:
+        if not had_base:
             options["base"] = remote.get("documentUrl") or ""
         if remote.get("contextUrl"):
             remote_ctx = {"@context": remote["contextUrl"]}
@@ -146,11 +150,12 @@ def frame(doc, frame_doc, options: dict | None = None):
     the frame's context (parity lib/jsonld.js:414-495)."""
     from .context import expand_iri, initial_context, process_context
 
+    had_base = options is not None and "base" in options
     options = _prepare(options)
     options.setdefault("embed", "@once")
     options.setdefault("omitGraph", True)
     options.setdefault("pruneBlankNodeIdentifiers", True)
-    if _is_url(doc) and "base" not in options:
+    if _is_url(doc) and not had_base:
         options["base"] = doc  # lib/jsonld.js:421 (_setDefaults base)
     if _is_url(frame_doc):
         # frame by URL: a Link-header context is injected into the

@@ -97,10 +97,12 @@ def _recompose(scheme, authority, path, query, fragment) -> str:
 def prepend_base(base, iri: str) -> str:
     """Resolve ``iri`` against ``base`` (RFC 3986 §5.2.2).
 
-    ``base`` may be None/'' (returns iri unchanged, matching the
-    reference's skip when base is unset, lib/url.js:63-68).
+    ``base`` None returns iri unchanged; an EMPTY base still resolves
+    (dot segments removed, ./ and ../ folded) — the reference only
+    skips on null (lib/url.js:63-68) and jsonld.expand defaults base
+    to '' when unset.
     """
-    if base is None or base == "":
+    if base is None:
         return iri
     if iri is None:
         return iri
@@ -139,32 +141,57 @@ def prepend_base(base, iri: str) -> str:
 
 
 def remove_base(base, iri: str) -> str:
-    """Relativize ``iri`` against ``base`` (inverse of prepend_base;
-    parity: lib/url.js:155-223). Used by compaction."""
-    if base is None or base == "":
+    """Relativize ``iri`` against ``base`` — a faithful port of the
+    reference algorithm (lib/url.js:155-223), including its quirks:
+    the last matching segment is also shed when the IRI carries a
+    query/fragment, and an EMPTY base relativizes a network-path
+    reference ('//host/x') to its path tail (the '//' root check is
+    an indexOf truthiness test there)."""
+    if base is None:
         return iri
-    b = parse_iri(base)
-    r = parse_iri(iri)
-    if b["scheme"] != r["scheme"] or b["authority"] != r["authority"]:
+    b = parse_iri(base if isinstance(base, str) else "")
+
+    # establish base root (scheme://authority)
+    if base != "":
+        root = (f"{b['scheme']}:" if b["scheme"] is not None else "") + \
+            "//" + (b["authority"] or "")
+    elif iri.find("//") != 0:
+        # reference quirk: `else if(iri.indexOf('//'))` — truthy for
+        # anything except a leading '//'
+        root = "//"
+    else:
+        root = ""
+
+    if not iri.startswith(root):
         return iri
 
-    b_segments = b["path"].split("/")
-    r_segments = r["path"].split("/")
-    # the last base segment is a "file" name unless path ends in /
-    if b["fragment"] is None and b["query"] is None:
-        b_segments = b_segments[:-1] + [""]
-    # strip common directory prefix
-    while len(b_segments) > 1 and len(r_segments) > 1 and b_segments[0] == r_segments[0]:
+    rel = parse_iri(iri[len(root):])
+
+    b_norm = remove_dot_segments(b["path"])
+    r_norm = remove_dot_segments(rel["path"])
+    b_segments = b_norm.split("/")
+    r_segments = r_norm.split("/")
+
+    # shed matching segments; keep the last IRI segment unless the IRI
+    # carries a query or fragment
+    last = 0 if (rel["fragment"] is not None or rel["query"] is not None) else 1
+    while b_segments and len(r_segments) > last:
+        if b_segments[0] != r_segments[0]:
+            break
         b_segments.pop(0)
         r_segments.pop(0)
-    rel = "../" * max(0, len(b_segments) - 1) + "/".join(r_segments)
-    if rel == "":
-        rel = "./" if r["query"] is None and r["fragment"] is None else ""
-    out = rel
-    if r["query"] is not None:
-        out += "?" + r["query"]
-    if r["fragment"] is not None:
-        out += "#" + r["fragment"]
-    if out == "":
-        out = "./"
-    return out
+
+    rval = ""
+    if b_segments:
+        # the final base segment is a file name, not a directory
+        b_segments.pop()
+        rval += "../" * len(b_segments)
+    rval += "/".join(r_segments)
+
+    if rel["query"] is not None:
+        rval += "?" + rel["query"]
+    if rel["fragment"] is not None:
+        rval += "#" + rel["fragment"]
+    if rval == "":
+        rval = "./"
+    return rval

@@ -905,3 +905,89 @@ def test_grammar4_matches_reference(oracle, op, doc):
             f"ref ={json.dumps(ref['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
+
+
+def _rand_doc5(rng: random.Random):
+    """Fifth grammar: @reverse maps, @container @type maps, language
+    maps with @none, value-object @index, relative @base/@vocab
+    resolution, keyword-lookalike terms, named @graph values."""
+    ctx: dict = {}
+    doc: dict = {}
+    if rng.random() < 0.6:
+        ctx["@vocab"] = rng.choice([V, "#", "", "rel/"])
+    if rng.random() < 0.5:
+        ctx["@base"] = rng.choice(
+            [EX + "dir/doc", EX + "dir/", "http://b.org/a/b/c?q=1"])
+    # @reverse map in the document body
+    if rng.random() < 0.5:
+        doc["@reverse"] = {
+            rng.choice(["knows", V + "knows"]):
+                {"@id": EX + f"r{rng.randrange(3)}"}}
+        ctx.setdefault("knows", V + "knows")
+    # @container @type map
+    if rng.random() < 0.5:
+        ctx["bytype"] = {"@id": V + "bytype", "@container": "@type"}
+        doc["bytype"] = {"T1": {"name": "a"},
+                         V + "T2": {"name": "b"}}
+        ctx.setdefault("name", V + "name")
+        ctx.setdefault("T1", V + "TypeOne")
+    # language map with @none
+    if rng.random() < 0.5:
+        ctx["lmap"] = {"@id": V + "lmap", "@container": "@language"}
+        doc["lmap"] = {"en": "hello", "@none": rng.choice(["plain", ["p1", "p2"]])}
+    # value object with @index
+    if rng.random() < 0.5:
+        doc[V + "vidx"] = {"@value": rng.choice(["s", 5, True]),
+                           "@index": f"i{rng.randrange(2)}"}
+    # relative IRIs against @base
+    if rng.random() < 0.6:
+        doc["@id"] = rng.choice(
+            ["../up", "./same", "frag#f", "?query", "//host.org/x", "a/b/../c"])
+    # keyword-lookalike term
+    if rng.random() < 0.3:
+        ctx["@gadget"] = V + "gadget"
+        doc["@gadget"] = "kw-lookalike"
+    # named graph value
+    if rng.random() < 0.4:
+        doc[V + "g"] = {"@graph": [{"@id": EX + "in", V + "p": "gv"}],
+                        "@index": "gi"} if rng.random() < 0.5 else \
+            {"@graph": [{V + "p": "anon"}]}
+    # typed value via term @type
+    if rng.random() < 0.4:
+        ctx["num"] = {"@id": V + "num",
+                      "@type": "http://www.w3.org/2001/XMLSchema#integer"}
+        doc["num"] = rng.choice(["42", 42, 4.5])
+    doc["@context"] = ctx
+    return doc
+
+
+GRAMMAR5 = [_rand_doc5(random.Random(50_000 + s)) for s in range(60)]
+
+
+@pytest.mark.parametrize("doc", GRAMMAR5,
+                         ids=[f"g5_{i}" for i in range(len(GRAMMAR5))])
+@pytest.mark.parametrize("op", ["expand", "toRDF", "flatten", "compact"])
+def test_grammar5_matches_reference(oracle, op, doc):
+    from jsonld_js_spark.kernel import compact as k_compact
+    from jsonld_js_spark.kernel import flatten as k_flat
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc, ctx={"@context": doc["@context"]})
+    else:
+        ref = oracle.call(op, doc=doc)
+    try:
+        if op == "expand":
+            mine = k_expand(doc)
+        elif op == "toRDF":
+            mine = k_trd(doc, {"format": "application/n-quads"})
+        elif op == "flatten":
+            mine = k_flat(doc)
+        else:
+            mine = k_compact(doc, doc["@context"])
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True, default=str)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
