@@ -16,9 +16,6 @@ import re
 
 from . import constants as C
 
-_INT_RE = re.compile(r"^[+-]?[0-9]+$")
-_DOUBLE_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
-_I18N_RE = re.compile(re.escape(C.I18N_NS) + r"([a-zA-Z0-9-]*)_(ltr|rtl)$")
 
 
 def _term_id(t: dict) -> str:
@@ -48,24 +45,14 @@ def _rdf_to_object(o: dict, use_native_types: bool, rdf_direction: str | None):
             raise ValueError(f"invalid JSON literal: {value!r}") from e
         rval["@type"] = "@json"
         return rval
-    if rdf_direction == "i18n-datatype":
-        m = _I18N_RE.match(dt)
-        if m:
-            if m.group(1):
-                rval["@language"] = m.group(1)
-            rval["@direction"] = m.group(2)
-            return rval
     if use_native_types:
-        # conversion rules incl. '1'/'0' booleans, exact integer
-        # round-trip, and @type retained on EVERYTHING non-convertible
-        # — even xsd:string (lib/fromRdf.js:351-377)
-        def numeric(v):
-            try:
-                f = float(v)
-            except ValueError:
-                return None
-            return f if math.isfinite(f) else None
-
+        # exact lib/fromRdf.js:351-377 semantics, quirks included:
+        # - isNumeric = !isNaN(parseFloat(v)) && isFinite(Number(v))
+        # - a NUMERIC integer that fails the canonical round-trip
+        #   ("007", "+7") keeps its STRING value with NO @type
+        # - useNativeTypes takes precedence over rdfDirection (the
+        #   i18n branch below is an else-if) — an i18n datatype here
+        #   is just "some other type" and is retained as @type
         if dt == C.XSD_BOOLEAN:
             if value in ("true", "1"):
                 rval["@value"] = True
@@ -74,22 +61,70 @@ def _rdf_to_object(o: dict, use_native_types: bool, rdf_direction: str | None):
             else:
                 rval["@type"] = dt
         elif dt == C.XSD_INTEGER:
-            if numeric(value) is not None and _INT_RE.match(value.strip()) \
-                    and str(int(value)) == value:
-                rval["@value"] = int(value)
+            if _js_is_numeric(value):
+                i = _js_parse_int(value)
+                if i is not None and str(i) == value:
+                    rval["@value"] = i
+                # else: string value kept, no @type (reference quirk)
             else:
                 rval["@type"] = dt
         elif dt == C.XSD_DOUBLE:
-            if numeric(value) is not None:
-                rval["@value"] = numeric(value)
+            if _js_is_numeric(value):
+                rval["@value"] = _js_parse_float(value)
             else:
                 rval["@type"] = dt
         else:
             rval["@type"] = dt
         return rval
+    if rdf_direction == "i18n-datatype" and dt.startswith(C.I18N_NS):
+        # reference splits on BOTH '#' and '_' (lib/fromRdf.js:383):
+        # i18n#en        -> language en, no direction
+        # i18n#_rtl      -> direction rtl, no language
+        # i18n#en_ltr    -> both
+        parts = re.split(r"[#_]", dt)
+        language = parts[1] if len(parts) > 1 else ""
+        direction = parts[2] if len(parts) > 2 else None
+        if language:
+            rval["@language"] = language
+        if direction is not None:
+            rval["@direction"] = direction
+        return rval
     if dt != C.XSD_STRING:
         rval["@type"] = dt
     return rval
+
+
+def _js_is_numeric(v: str) -> bool:
+    """JS types.isNumeric: !isNaN(parseFloat(v)) && isFinite(v)."""
+    s = v.strip()
+    # parseFloat: a leading decimal-number prefix must exist
+    if not re.match(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s) \
+            and not re.match(r"^[+-]?Infinity", s):
+        return False
+    # isFinite(Number(v)): full-string numeric conversion, finite only
+    if s == "":
+        return False  # parseFloat('') is NaN anyway
+    if re.match(r"^[+-]?0[xX][0-9a-fA-F]+$", s):
+        return True
+    try:
+        n = float(s)
+    except ValueError:
+        return False
+    # Python float() accepts 'inf'/'nan' spellings JS Number() rejects;
+    # all of them are non-finite, which fails isFinite either way
+    return math.isfinite(n)
+
+
+def _js_parse_int(v: str):
+    """JS parseInt(v, 10): integer value of the leading digit run."""
+    m = re.match(r"^\s*([+-]?\d+)", v)
+    return int(m.group(1)) if m else None
+
+
+def _js_parse_float(v: str) -> float:
+    """JS parseFloat: value of the leading decimal-number prefix."""
+    m = re.match(r"^\s*([+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?)", v)
+    return float(m.group(1))
 
 
 def _add_unique(node: dict, key: str, value) -> None:

@@ -194,3 +194,59 @@ def test_list_reconstruction_matches_reference(oracle, name):
     mine = k_from_rdf(quads)
     assert deep_eq(mine, ref["result"]), (
         f"{name}:\n mine={mine}\n ref={ref['result']}")
+
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+I18N = "https://www.w3.org/ns/i18n#"
+
+LITERAL_CASES = {
+    "int_canonical": f'<{E}s> <{E}p> "42"^^<{XSD}integer>',
+    "int_leading_zeros": f'<{E}s> <{E}p> "007"^^<{XSD}integer>',
+    "int_plus_sign": f'<{E}s> <{E}p> "+7"^^<{XSD}integer>',
+    "int_negative": f'<{E}s> <{E}p> "-13"^^<{XSD}integer>',
+    "int_garbage": f'<{E}s> <{E}p> "4x2"^^<{XSD}integer>',
+    "double_canonical": f'<{E}s> <{E}p> "4.2E0"^^<{XSD}double>',
+    "double_plain": f'<{E}s> <{E}p> "4.25"^^<{XSD}double>',
+    "double_int_valued": f'<{E}s> <{E}p> "5"^^<{XSD}double>',
+    "double_exp": f'<{E}s> <{E}p> "1e21"^^<{XSD}double>',
+    "double_inf": f'<{E}s> <{E}p> "INF"^^<{XSD}double>',
+    "double_nan": f'<{E}s> <{E}p> "NaN"^^<{XSD}double>',
+    "bool_true": f'<{E}s> <{E}p> "true"^^<{XSD}boolean>',
+    "bool_one": f'<{E}s> <{E}p> "1"^^<{XSD}boolean>',
+    "bool_garbage": f'<{E}s> <{E}p> "yes"^^<{XSD}boolean>',
+    "string_typed": f'<{E}s> <{E}p> "plain"^^<{XSD}string>',
+    "custom_type": f'<{E}s> <{E}p> "v"^^<{E}Custom>',
+    "lang_tag": f'<{E}s> <{E}p> "hallo"@de',
+    "json_literal":
+        f'<{E}s> <{E}p> "{{\\"b\\":1,\\"a\\":[true,null]}}"'
+        f'^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON>',
+    "i18n_ltr": f'<{E}s> <{E}p> "text"^^<{I18N}en_ltr>',
+    "i18n_no_lang": f'<{E}s> <{E}p> "text"^^<{I18N}_rtl>',
+    "i18n_wrong_shape": f'<{E}s> <{E}p> "text"^^<{I18N}en>',
+}
+
+OPTION_SETS = [
+    {},
+    {"useNativeTypes": True},
+    {"rdfDirection": "i18n-datatype"},
+    {"useNativeTypes": True, "rdfDirection": "i18n-datatype"},
+    {"useRdfType": True},
+]
+
+
+@pytest.mark.parametrize("opts_i", range(len(OPTION_SETS)),
+                         ids=[f"o{i}" for i in range(len(OPTION_SETS))])
+@pytest.mark.parametrize("name", LITERAL_CASES, ids=list(LITERAL_CASES))
+def test_fromrdf_literal_options_match_reference(oracle, name, opts_i):
+    """Literal conversion rules across useNativeTypes / rdfDirection /
+    useRdfType (lib/fromRdf.js:305-407) — per-option differential."""
+    opts = OPTION_SETS[opts_i]
+    quads = nq_parse(LITERAL_CASES[name] + " .\n")
+    ref = oracle.call("fromRDF", dataset=quads, options=opts)
+    assert ref["ok"], ref
+    mine = k_from_rdf(quads, **{
+        "use_native_types": opts.get("useNativeTypes", False),
+        "rdf_direction": opts.get("rdfDirection"),
+        "use_rdf_type": opts.get("useRdfType", False)})
+    assert deep_eq(mine, ref["result"]), (
+        f"{name}/{opts}:\n mine={mine}\n ref={ref['result']}")
