@@ -100,26 +100,48 @@ def _validate_frame(frame) -> None:
                 raise syntax_error("invalid @type in frame.", "invalid frame")
 
 
+def _js_truthy(v) -> bool:
+    return not (v is None or v is False or v == 0 or v == "" or
+                (isinstance(v, float) and v != v))
+
+
 def _value_match(pattern: dict, value: dict) -> bool:
-    """@value pattern match (lib/frame.js:794-826)."""
+    """@value pattern match — exact port of lib/frame.js:794-826,
+    quirks included: a JS-FALSY pattern entry (0, '', false, null)
+    counts as absent, and with any constraint present an ABSENT
+    pattern @type/@language only matches values that also LACK that
+    member (no implicit wildcard)."""
+
+    def pat(key):
+        pv = pattern.get(key)
+        if not _js_truthy(pv):
+            return []
+        return pv if isinstance(pv, list) else [pv]
+
     v1 = value.get("@value")
     t1 = value.get("@type")
     l1 = value.get("@language")
-    v2 = _values(pattern, "@value")
-    t2 = _values(pattern, "@type")
-    l2 = _values(pattern, "@language")
+    v2 = pat("@value")
+    t2 = pat("@type")
+    l2 = pat("@language")
     if not v2 and not t2 and not l2:
         return True
-    if not (v1 in v2 or (v2 and isinstance(v2[0], dict) and not v2[0])):
-        if v2:
-            return False
-    if v2 and not (v1 in v2 or (isinstance(v2[0], dict) and not v2[0])):
+
+    def eq_in(x, lst):
+        # JS === : booleans never equal numbers
+        return any(type(x) is type(y) and x == y
+                   or (isinstance(x, (int, float)) and not isinstance(x, bool)
+                       and isinstance(y, (int, float)) and not isinstance(y, bool)
+                       and x == y)
+                   for y in lst)
+
+    if not (eq_in(v1, v2) or (v2 and isinstance(v2[0], dict) and not v2[0])):
         return False
-    if not (t1 in t2 or (t2 and isinstance(t2[0], dict) and not t2[0])) and t2:
+    if not ((not _js_truthy(t1) and not t2) or eq_in(t1, t2)
+            or (_js_truthy(t1) and t2 and isinstance(t2[0], dict) and not t2[0])):
         return False
-    l1n = l1.lower() if isinstance(l1, str) else l1
-    l2n = [x.lower() if isinstance(x, str) else x for x in l2]
-    if l2 and not (l1n in l2n or (isinstance(l2[0], dict) and not l2[0])):
+    if not ((not _js_truthy(l1) and not l2) or eq_in(l1, l2)
+            or (_js_truthy(l1) and l2 and isinstance(l2[0], dict) and not l2[0])):
         return False
     return True
 

@@ -991,3 +991,76 @@ def test_grammar5_matches_reference(oracle, op, doc):
             f"ref ={json.dumps(ref['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
+
+
+def _rand_frame_case2(rng: random.Random):
+    """Second frame grammar: value patterns, @id matching (single +
+    array), nested frames with inner flags, @omitDefault, @null
+    defaults, wildcard/match-none shapes."""
+    n_nodes = rng.randrange(3, 6)
+    docs = []
+    for i in range(n_nodes):
+        node = {"@id": EX + f"n{i}", "@type": V + f"T{i % 2}"}
+        if rng.random() < 0.7:
+            node[V + "name"] = [{"@value": f"nm{i}",
+                                 "@language": rng.choice(["en", "de"])}
+                                if rng.random() < 0.5 else
+                                {"@value": f"nm{i}"}]
+        if rng.random() < 0.5:
+            node[V + "ref"] = [{"@id": EX + f"n{(i + 1) % n_nodes}"}]
+        if rng.random() < 0.3:
+            node[V + "num"] = [{"@value": rng.randrange(3)}]
+        docs.append(node)
+
+    frame: dict = {"@context": {"@vocab": V}}
+    r = rng.random()
+    if r < 0.25:
+        # @id match: single or array
+        ids = [EX + f"n{rng.randrange(n_nodes)}"
+               for _ in range(rng.randrange(1, 3))]
+        frame["@id"] = ids[0] if len(ids) == 1 else ids
+    elif r < 0.5:
+        frame["@type"] = f"T{rng.randrange(2)}"
+    elif r < 0.7:
+        # value-pattern match on name
+        pat: dict = {"@value": {}}
+        if rng.random() < 0.5:
+            pat["@language"] = rng.choice(["en", "de", []])
+        frame["name"] = pat
+    # nested frame on ref with inner flags
+    if rng.random() < 0.5:
+        inner: dict = {}
+        if rng.random() < 0.5:
+            inner["@explicit"] = True
+            inner["name"] = {}
+        if rng.random() < 0.3:
+            inner["@embed"] = "@never"
+        frame["ref"] = inner
+    if rng.random() < 0.3:
+        frame["num"] = {"@default": rng.choice(["dflt", 0, None])}
+    if rng.random() < 0.3:
+        frame["@omitDefault"] = rng.random() < 0.5
+    if rng.random() < 0.2:
+        frame["@requireAll"] = True
+    return docs, frame
+
+
+FRAME2 = [_rand_frame_case2(random.Random(60_000 + s)) for s in range(80)]
+
+
+@pytest.mark.parametrize("case_i", range(len(FRAME2)),
+                         ids=[f"f2_{i}" for i in range(len(FRAME2))])
+def test_frame_fuzz2_matches_reference(oracle, case_i):
+    from jsonld_js_spark.kernel import frame as k_frame2
+
+    docs, frame = FRAME2[case_i]
+    ref = oracle.call("frame", doc=docs, frame=frame)
+    try:
+        mine = k_frame2(docs, frame, {})
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"frame={json.dumps(frame, sort_keys=True)}\n"
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
