@@ -168,8 +168,34 @@ def _t_nest(s, k):
     return doc, exp
 
 
+def _t_prop_scoped(s, k):
+    # property-scoped context remaps `inner` for the holder's value
+    doc = {"@context": {"@vocab": V,
+                        "holder": {"@id": V + "holder",
+                                   "@context": {"inner": V + "inner2"}}},
+           "@id": s, "holder": {"inner": f"x{k}"}}
+    exp = [f'<{s}> <{V}holder> _:h .',
+           f'_:h <{V}inner2> "x{k}" .']
+    return doc, exp
+
+
+def _t_type_scoped(s, k):
+    # type-scoped context applies to the typed node, reverts below it
+    doc = {"@context": {"@vocab": V,
+                        "Widget": {"@id": V + "Widget",
+                                   "@context": {"size": V + "scopedSize"}}},
+           "@id": s, "@type": "Widget", "size": f"{k}cm",
+           "part": {"size": f"{k}mm"}}
+    exp = [f'<{s}> <{RDF}type> <{V}Widget> .',
+           f'<{s}> <{V}scopedSize> "{k}cm" .',
+           f'<{s}> <{V}part> _:p .',
+           f'_:p <{V}size> "{k}mm" .']
+    return doc, exp
+
+
 TEMPLATES = [_t_person, _t_measure, _t_list, _t_lang, _t_graph,
-             _t_bnode, _t_json, _t_reverse, _t_typed, _t_nest]
+             _t_bnode, _t_json, _t_reverse, _t_typed, _t_nest,
+             _t_prop_scoped, _t_type_scoped]
 
 
 def turn_subject(conv_id: str, turn_idx: int) -> str:
