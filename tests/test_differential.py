@@ -1064,3 +1064,24 @@ def test_frame_fuzz2_matches_reference(oracle, case_i):
             f"ref ={json.dumps(ref['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
+
+
+@pytest.mark.parametrize("gi", range(0, 60, 3),
+                         ids=[f"ca_{i}" for i in range(0, 60, 3)])
+@pytest.mark.parametrize("wave", ["g4", "g5"])
+def test_compact_arrays_off_grammars(oracle, wave, gi):
+    """compactArrays=false over the grammar-4/5 corpora — array
+    preservation through every container shape."""
+    from jsonld_js_spark.kernel import compact as k_compact
+
+    doc = (GRAMMAR4 if wave == "g4" else GRAMMAR5)[gi]
+    ref = oracle.call("compact", doc=doc, ctx={"@context": doc["@context"]},
+                      options={"compactArrays": False})
+    try:
+        mine = k_compact(doc, doc["@context"], {"compactArrays": False})
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True, default=str)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
