@@ -55,16 +55,27 @@ def main() -> None:
     tx.unpersist()
 
     per_query: dict[str, float] = {"kg_extract_transcripts_headline": round(extract_sec, 3)}
+    spread: dict[str, list[float]] = {}
     skip = {"kg_extract_transcripts", "kg_canonize_transcripts", "kg_full_build"}
+
+    def run_once(fn) -> float:
+        # isolate each measurement: no cross-query cache reuse
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     for name, (fn, _sql) in QUERIES.items():
         if name in skip:
             continue
-        # isolate each query's measurement: no cross-query cache reuse
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        walls = [run_once(fn)]
+        if walls[0] > 3.0:
+            # heavy queries swing 2-3x run-to-run on this box: report
+            # the median of 3 so round-over-round deltas are signal
+            walls += [run_once(fn) for _ in range(2)]
+            spread[name] = [round(min(walls), 3), round(max(walls), 3)]
+        walls.sort()
+        per_query[name] = round(walls[len(walls) // 2], 3)
 
     print(json.dumps({
         "metric": "kg_extract_triples_per_sec",
@@ -77,6 +88,7 @@ def main() -> None:
             "input_turns": n_turns,
             "triples": n_triples,
             "extract_wall_sec": round(extract_sec, 3),
+            "heavy_query_spread_min_max": spread,
         },
     }))
     spark.stop()

@@ -293,7 +293,10 @@ def canonize(doc, options: dict | None = None) -> str:
         dataset = doc
     else:
         dataset = to_rdf(doc, {**options, "format": None})
-    return _canon.canonize(dataset, max_work_factor=options.get("maxWorkFactor", 3))
+    return _canon.canonize(
+        dataset, max_work_factor=options.get("maxWorkFactor", 3),
+        message_digest_algorithm=options.get("messageDigestAlgorithm",
+                                             "sha256"))
 
 
 def _relabel_blank_nodes(element, issuer: IdentifierIssuer):

@@ -53,8 +53,22 @@ class PoisonedDatasetError(Exception):
     """Raised when canonicalization exceeds the work-factor bound."""
 
 
-def _sha256(s: str) -> str:
-    return hashlib.sha256(s.encode("utf-8")).hexdigest()
+#: digests the reference's rdf-canonize accepts for
+#: ``messageDigestAlgorithm`` (/root/reference/lib/jsonld.js:551-559
+#: passes the option through verbatim; RDFC-1.0 §2 names SHA-256 as
+#: default and SHA-384 as the interoperable alternative).
+_DIGESTS = {"sha256": hashlib.sha256, "sha384": hashlib.sha384,
+            "sha512": hashlib.sha512}
+
+
+def _make_digest(algorithm: str):
+    try:
+        h = _DIGESTS[algorithm.replace("-", "").lower()]
+    except KeyError:
+        raise ValueError(
+            f"unsupported messageDigestAlgorithm: {algorithm!r} "
+            f"(supported: {sorted(_DIGESTS)})") from None
+    return lambda s: h(s.encode("utf-8")).hexdigest()
 
 
 def _quad_bnodes(q):
@@ -65,8 +79,10 @@ def _quad_bnodes(q):
 
 
 class _Canonicalizer:
-    def __init__(self, quads: list[dict], max_work_factor: float | int = 3):
+    def __init__(self, quads: list[dict], max_work_factor: float | int = 3,
+                 message_digest_algorithm: str = "sha256"):
         self.quads = quads
+        self._digest = _make_digest(message_digest_algorithm)
         self.bnode_to_quads: dict[str, list[dict]] = {}
         for q in quads:
             for _, b in _quad_bnodes(q):
@@ -96,7 +112,7 @@ class _Canonicalizer:
                     modified[pos] = t
             nquads.append(serialize_quad(modified))
         nquads.sort()
-        return _sha256("".join(nquads))
+        return self._digest("".join(nquads))
 
     # -- step 4.6-ish: hash related blank node
     def hash_related(self, related: str, quad: dict, issuer: _Issuer, position: str) -> str:
@@ -109,7 +125,7 @@ class _Canonicalizer:
         inp = position
         if position != "g":
             inp += f"<{quad['predicate']['value']}>"
-        return _sha256(inp + ident)
+        return self._digest(inp + ident)
 
     # -- hash n-degree quads
     def hash_n_degree(self, bnode: str, issuer: _Issuer) -> tuple[str, _Issuer]:
@@ -163,7 +179,7 @@ class _Canonicalizer:
                     chosen_issuer = issuer_copy
             data_to_hash.append(chosen_path)
             issuer = chosen_issuer
-        return _sha256("".join(data_to_hash)), issuer
+        return self._digest("".join(data_to_hash)), issuer
 
     def run(self) -> dict[str, str]:
         """Returns mapping old bnode label -> canonical label (no `_:`)."""
@@ -199,9 +215,11 @@ class _Canonicalizer:
         return dict(self.canonical.existing)
 
 
-def canonical_id_map(quads: list[dict], max_work_factor: float | int = 3) -> dict[str, str]:
+def canonical_id_map(quads: list[dict], max_work_factor: float | int = 3,
+                     message_digest_algorithm: str = "sha256") -> dict[str, str]:
     """old blank-node label -> canonical label (`c14nN`, no `_:`)."""
-    return _Canonicalizer(quads, max_work_factor).run()
+    return _Canonicalizer(quads, max_work_factor,
+                          message_digest_algorithm).run()
 
 
 def relabel_quads(quads: list[dict], id_map: dict[str, str]) -> list[dict]:
@@ -218,9 +236,11 @@ def relabel_quads(quads: list[dict], id_map: dict[str, str]) -> list[dict]:
     return out
 
 
-def canonize(quads: list[dict], *, max_work_factor: float | int = 3) -> str:
+def canonize(quads: list[dict], *, max_work_factor: float | int = 3,
+             message_digest_algorithm: str = "sha256") -> str:
     """Dataset -> canonical N-Quads string (RDFC-1.0)."""
-    id_map = canonical_id_map(quads, max_work_factor)
+    id_map = canonical_id_map(quads, max_work_factor,
+                              message_digest_algorithm)
     lines = sorted(serialize_quad(q) for q in relabel_quads(quads, id_map))
     return "".join(lines)
 

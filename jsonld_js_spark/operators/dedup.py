@@ -98,12 +98,19 @@ def minhash_lsh_pairs(docs: DataFrame, *, n_minhash: int = 12,
         cand = cand.unionByName(star)
     cand = cand.distinct()
 
-    da = reps.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1"))
-    db = reps.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2"))
+    # semi-join the corpus-sized rep token table down to candidate ids
+    # (small post-LSH), then join UNHINTED: AQE broadcasts the shrunk
+    # side when it fits; the full reps table is never broadcast
+    ids1 = cand.select(F.col("doc1").alias("doc_id")).distinct()
+    ids2 = cand.select(F.col("doc2").alias("doc_id")).distinct()
+    da = (reps.join(ids1, "doc_id", "left_semi")
+          .select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1")))
+    db = (reps.join(ids2, "doc_id", "left_semi")
+          .select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2")))
     inter = F.size(F.array_intersect("toks1", "toks2"))
     union = F.size("toks1") + F.size("toks2") - inter
-    pairs = (cand.join(F.broadcast(da), "doc1")
-             .join(F.broadcast(db), "doc2")
+    pairs = (cand.join(da, "doc1")
+             .join(db, "doc2")
              .select("doc1", "doc2",
                      F.round(inter / union, 4).alias("jaccard"))
              .filter(F.col("jaccard") >= threshold))

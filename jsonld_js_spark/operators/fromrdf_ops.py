@@ -350,11 +350,29 @@ def _resolve_nested(attachments: DataFrame, consumed: DataFrame,
 
 def from_rdf_nodes(triples: DataFrame, *, use_native_types: bool = False,
                    use_rdf_type: bool = False,
-                   max_chain_iterations: int = 1000) -> DataFrame:
+                   max_chain_iterations: int = 1000,
+                   seq_col: str | None = None) -> DataFrame:
     """triples -> one row per (graph, subject) carrying the assembled
-    expanded-JSON node object, fully distributed (see module doc)."""
-    t = triples.select(*_QUAD_COLS).withColumn(
-        "seq", F.monotonically_increasing_id())
+    expanded-JSON node object, fully distributed (see module doc).
+
+    Value order inside a node is PARTITIONING-INVARIANT: the reference
+    preserves input quad order, but a distributed DataFrame has no
+    input order unless the caller supplies one — pass ``seq_col`` (an
+    explicit input ordinal, e.g. the N-Quads reader's line number) to
+    reproduce it. Without ``seq_col`` values sort canonically by quad
+    content, so output is identical under any repartitioning/retry
+    (SURVEY §4 deterministic-ordering discipline; the old
+    monotonically_increasing_id ordering depended on partition
+    layout)."""
+    if seq_col is not None:
+        t = triples.select(*_QUAD_COLS,
+                           F.col(seq_col).cast("long").alias("seq"))
+    else:
+        t = triples.select(*_QUAD_COLS).withColumn(
+            "seq", F.concat_ws(
+                "\x1f", "pred", "obj_kind", "obj_value",
+                F.coalesce("obj_datatype", F.lit("")),
+                F.coalesce("obj_lang", F.lit(""))))
 
     links = _list_links(t, use_native_types)
     attachments, consumed = _walk_chains(t, links, max_chain_iterations)

@@ -65,36 +65,63 @@ def _plane_coefs(dims: int, bits: int, seed: int = 42) -> list[list[float]]:
 
 def _signatures(df: DataFrame, coefs: list[list[float]], *, id_col: str,
                 vec_col: str, bands: int, bits: int) -> DataFrame:
-    """(id, band, sig) rows computed entirely PER ROW: each bit's
-    projection is an F.aggregate dot product against a literal ±1
-    plane, band signatures are string concats, and bands explode to
-    rows — zero shuffle before the bucket join (the old shape
-    posexploded N x dims rows through a join + two groupBys)."""
+    """(id, band, sig) rows computed entirely PER ROW and with an O(1)
+    expression tree: the ±1 planes are ONE nested literal array and the
+    projections one F.transform over it (each an F.aggregate dot
+    product), so Catalyst analysis cost does not grow with `bits` (the
+    old shape built `bits` separate aggregate trees — driver-side
+    planning dominated wall time). Bands are substrings of the bit
+    string exploded to rows — zero shuffle before the bucket join."""
     rows_per_band = bits // bands
-
-    def proj(b: int):
-        plane = F.array(*[F.lit(c) for c in coefs[b]])
-        return F.aggregate(F.zip_with(vec_col, plane, lambda x, y: x * y),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
-    bit_chars = [F.when(proj(b) >= 0, F.lit("1")).otherwise(F.lit("0"))
-                 for b in range(bits)]
-    band_structs = [
-        F.struct(F.lit(i).alias("band"),
-                 F.concat(*bit_chars[i * rows_per_band:
-                                     (i + 1) * rows_per_band]).alias("sig"))
-        for i in range(bands)]
-    return (df.select(id_col, F.explode(F.array(*band_structs)).alias("bs"))
+    planes = F.lit(coefs)  # one nested array literal (one py4j call)
+    projs = F.transform(
+        planes,
+        lambda p: F.aggregate(F.zip_with(vec_col, p, lambda x, y: x * y),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    bitstr = F.array_join(
+        F.transform(projs, lambda v: F.when(v >= 0, F.lit("1"))
+                    .otherwise(F.lit("0"))), "")
+    # let-bind the bit string via a single-element-array transform so it
+    # is computed ONCE per row; naming it in a select and referencing it
+    # per band gets inlined by CollapseProject and recomputed `bands`
+    # times (measured 4x wall on the 64-bit config)
+    bands_arr = F.flatten(F.transform(
+        F.array(bitstr),
+        lambda bs: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda i: F.struct(
+                i.cast("int").alias("band"),
+                F.substring(bs, i * rows_per_band + 1,
+                            rows_per_band).alias("sig")))))
+    return (df.select(id_col, F.explode(bands_arr).alias("bs"))
             .select(id_col, F.col("bs.band").alias("band"),
                     F.col("bs.sig").alias("sig")))
 
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
-             *, bits: int = 16, bands: int = 8, dims: int = 64,
+             *, bits: int = 32, bands: int = 8, dims: int = 64,
+             max_bucket: int | None = None,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", seed: int = 42) -> DataFrame:
     """Banded signed-random-projection ANN: candidates share at least
-    one band signature with the query; exact cosine re-ranks them."""
+    one band signature with the query; exact cosine re-ranks them.
+
+    Parameter guidance (measured in tests/test_simsearch.py):
+    signature width per band = bits/bands decides pruning. 16-bit
+    signatures (e.g. bits=64, bands=4) give 65k buckets per band —
+    the 100-TB config for REAL embedding corpora, where near-duplicates
+    sit at cosine >= 0.95 and survive wide bands (planted-neighbor
+    recall ~1.0, candidate fraction ~bands/2^16 for the random bulk).
+    On near-uniform vectors (top-k neighbors at cosine ~0.3, like the
+    synthetic test corpus) no LSH family prunes AND recalls — use
+    narrower bands (bits=32, bands=8: recall ~0.66 at ~2.4x pruning)
+    or brute force; that trade-off is the data's, not the index's.
+
+    ``max_bucket`` drops corpus-side buckets larger than the cap (a
+    degenerate bucket — e.g. the all-zeros region — would otherwise
+    contribute bucket_size x queries candidates); drops lower recall
+    for vectors in dropped buckets, never correctness of the re-rank.
+    """
     coefs = _plane_coefs(dims, bits, seed)
     e = _as_double(embeddings, vec_col)
     q = _as_double(queries, vec_col)
@@ -103,6 +130,10 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                         bands=bands, bits=bits)
     q_sig = _signatures(q, coefs, id_col=query_id_col, vec_col=vec_col,
                         bands=bands, bits=bits)
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "sig")
+        e_sig = (e_sig.withColumn("bsize", F.count(F.lit(1)).over(wb))
+                 .filter(F.col("bsize") <= max_bucket).drop("bsize"))
     cand = (e_sig.join(q_sig, ["band", "sig"])
             .select(id_col, query_id_col).distinct())
 
@@ -124,15 +155,23 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              *, n_probe: int = 3, id_col: str = "vec_id",
              vec_col: str = "embedding", query_id_col: str = "query_id",
-             label_col: str = "label") -> DataFrame:
+             label_col: str = "label",
+             centroid_round: int | None = None) -> DataFrame:
     """IVF-style ANN using an existing coarse partition (the `label`
     column as cells): per query, probe the n_probe nearest cell
-    centroids, exact-search only those cells."""
+    centroids, exact-search only those cells.
+
+    ``centroid_round`` rounds centroid components (use 6 for
+    cross-engine reproducibility: float AVG summation order differs
+    between engines; rounding pins the probe selection)."""
     e = _as_double(embeddings, vec_col)
     q = _as_double(queries, vec_col)
 
+    cagg = F.avg("v")
+    if centroid_round is not None:
+        cagg = F.round(cagg, centroid_round)
     centroids = (e.select(label_col, F.posexplode(vec_col).alias("dim", "v"))
-                 .groupBy(label_col, "dim").agg(F.avg("v").alias("c"))
+                 .groupBy(label_col, "dim").agg(cagg.alias("c"))
                  .groupBy(label_col)
                  .agg(F.array_sort(F.collect_list(F.struct("dim", "c")))
                       .alias("pairs"))
@@ -141,7 +180,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     probes = (q.crossJoin(F.broadcast(centroids))
               .select(query_id_col, label_col,
                       _cosine(vec_col, "cv").alias("ccos")))
-    wp = Window.partitionBy(query_id_col).orderBy(F.col("ccos").desc())
+    wp = Window.partitionBy(query_id_col).orderBy(
+        F.col("ccos").desc(), F.col(label_col).asc())
     probe_cells = (probes.withColumn("rn", F.row_number().over(wp))
                    .filter(F.col("rn") <= n_probe)
                    .select(query_id_col, label_col))

@@ -49,11 +49,17 @@ def completed_groups(out_dir: str) -> dict[int, dict]:
 
 def run_resumable(transcripts: DataFrame, out_dir: str, *,
                   n_groups: int = 16, canonicalize: bool = False,
-                  max_groups: int | None = None) -> dict:
+                  max_groups: int | None = None,
+                  files_per_group: int = 4) -> dict:
     """Extract triples group-by-group with checkpoint/resume.
 
     ``max_groups`` processes at most that many pending groups (the
-    test's stand-in for a mid-job kill). Returns run metrics.
+    test's stand-in for a mid-job kill). ``files_per_group`` sets the
+    write parallelism per group: data lands in that many tasks via
+    DETERMINISTIC hash partitioning on conv_id + a full-column sort,
+    so a rerun reproduces byte-identical files (at 100 TB, size it to
+    group_bytes / target_file_size; the old repartition(1) made each
+    group a single multi-TB task). Returns run metrics.
     """
     from pyspark.sql import Observation
 
@@ -95,8 +101,11 @@ def run_resumable(transcripts: DataFrame, out_dir: str, *,
                                       "pred", "obj_kind", "obj_value"),
                            F.lit(2_147_483_647))).alias("fp")))
         data_path = os.path.join(out_dir, "data", f"part_group={g}")
-        (triples.repartition(1).sortWithinPartitions(
-            "conv_id", "turn_idx", "subj", "pred", "obj_value")
+        # multi-task write, still byte-deterministic: hash(conv_id) %
+        # files_per_group is layout-independent, and the sort covers
+        # EVERY column so tie rows cannot swap between runs
+        (triples.repartition(files_per_group, F.col("conv_id"))
+            .sortWithinPartitions(*triples.columns)
             .write.mode("overwrite").parquet(data_path))
         n_turns = int(turn_counts.get(g, 0))
         n_triples = int(obs_tri.get["n_triples"])

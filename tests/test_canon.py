@@ -217,3 +217,63 @@ def test_canonicalization_distinguishes_nonisomorphic(seed):
             m = "\n".join(mutated) + "\n"
             assert canon_nq(m, max_work_factor=3) != base
             break
+
+
+@pytest.mark.parametrize("alg", ["sha256", "sha384"])
+def test_message_digest_algorithm_known_answer(alg):
+    """messageDigestAlgorithm passthrough (reference:
+    lib/jsonld.js:551-559 hands the option to rdf-canonize). The
+    expected label order is RE-DERIVED here with hashlib directly:
+    first-degree hash of a lone bnode quad is digest('_:a <p> "v" .\\n')
+    and labels are issued in sorted-hash order, so the test predicts
+    which input bnode becomes c14n0 without consulting the kernel."""
+    import hashlib
+
+    nq = (f'_:x <{EX}p> "a" .\n'
+          f'_:y <{EX}p> "b" .\n')
+    h = getattr(hashlib, alg)
+    hx = h(f'_:a <{EX}p> "a" .\n'.encode()).hexdigest()
+    hy = h(f'_:a <{EX}p> "b" .\n'.encode()).hexdigest()
+    first, second = ("a", "b") if hx < hy else ("b", "a")
+    expected = "".join(sorted([f'_:c14n0 <{EX}p> "{first}" .\n',
+                               f'_:c14n1 <{EX}p> "{second}" .\n']))
+    assert canon_nq(nq, message_digest_algorithm=alg) == expected
+
+
+def test_message_digest_algorithms_differ_when_order_flips():
+    """The two digests must actually flow through: find a value pair
+    whose first-degree hash ORDER differs between sha256 and sha384,
+    and check the c14n0 assignment flips with it."""
+    import hashlib
+
+    for i in range(200):
+        a, b = f"v{i}a", f"v{i}b"
+        qa, qb = (f'_:a <{EX}p> "{a}" .\n', f'_:a <{EX}p> "{b}" .\n')
+        o256 = hashlib.sha256(qa.encode()).hexdigest() < \
+            hashlib.sha256(qb.encode()).hexdigest()
+        o384 = hashlib.sha384(qa.encode()).hexdigest() < \
+            hashlib.sha384(qb.encode()).hexdigest()
+        if o256 != o384:
+            break
+    else:
+        pytest.skip("no order-flipping pair found")
+    nq = (f'_:x <{EX}p> "{a}" .\n'
+          f'_:y <{EX}p> "{b}" .\n')
+    m256 = canonical_id_map(parse(nq))
+    m384 = canonical_id_map(parse(nq), message_digest_algorithm="sha384")
+    assert m256["x"] != m384["x"] and m256["y"] != m384["y"]
+
+
+def test_message_digest_algorithm_rejected():
+    with pytest.raises(ValueError, match="messageDigestAlgorithm"):
+        canon_nq(f'_:x <{EX}p> "v" .\n', message_digest_algorithm="md5sum")
+
+
+def test_api_canonize_digest_option():
+    from jsonld_js_spark.kernel import api
+
+    doc = {"@id": "_:b0", f"{EX}p": [{"@value": "v"}]}
+    out256 = api.canonize(doc)
+    out384 = api.canonize(doc, {"messageDigestAlgorithm": "sha384"})
+    # one bnode -> same labels either way; both must canonize cleanly
+    assert out256 == out384 == f'_:c14n0 <{EX}p> "v" .\n'

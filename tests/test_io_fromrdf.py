@@ -58,12 +58,14 @@ def test_from_rdf_nodes_roundtrip(spark):
            "p": [{"@id": "http://ex.org/o", "q": "deep"}, "lit", 7],
            "steps": {"@list": ["a", "b"]}}
     quads = k_to_rdf(doc)
-    rows = quads_to_rows(quads)
+    # kernel from_rdf preserves INPUT quad order -> supply the ordinal
+    rows = [r + (i,) for i, r in enumerate(quads_to_rows(quads))]
     df = spark.createDataFrame(
         rows, "graph string, subj string, pred string, obj_kind string, "
-              "obj_value string, obj_datatype string, obj_lang string")
+              "obj_value string, obj_datatype string, obj_lang string, "
+              "seq long")
     nodes = {r["subj"]: json.loads(r["node_json"])
-             for r in from_rdf_nodes(df).collect()}
+             for r in from_rdf_nodes(df, seq_col="seq").collect()}
     expected = {n["@id"]: n for n in k_from_rdf(quads)}
     assert nodes == expected
     # list was folded back
@@ -109,17 +111,39 @@ def test_from_rdf_nodes_matches_kernel_on_list_shapes(spark):
                 if len(node) > 1:
                     expected[(g, node["@id"])] = node
 
+    all_rows = [r + (i,) for i, r in enumerate(all_rows)]
     df = spark.createDataFrame(
         all_rows, "graph string, subj string, pred string, obj_kind string, "
-                  "obj_value string, obj_datatype string, obj_lang string")
+                  "obj_value string, obj_datatype string, obj_lang string, "
+                  "seq long")
     got = {(r["graph"], r["subj"]): json.loads(r["node_json"])
-           for r in from_rdf_nodes(df).collect()}
+           for r in from_rdf_nodes(df, seq_col="seq").collect()}
     assert set(got) == set(expected), (
         f"key mismatch:\n only_got={sorted(set(got)-set(expected))}\n"
         f" only_exp={sorted(set(expected)-set(got))}")
     for key in expected:
         assert got[key] == expected[key], (
             f"{key}:\n got={got[key]}\n expected={expected[key]}")
+
+
+def test_from_rdf_nodes_partitioning_invariant(spark):
+    """Without an explicit ordinal, node_json must be byte-identical
+    under any partition layout (the old monotonically_increasing_id
+    ordering was layout-dependent)."""
+    rows = []
+    for i in range(40):
+        s = f"http://e.org/s{i % 4}"
+        rows.append(("", s, "http://e.org/p", "literal",
+                     f"v{(i * 7) % 40}", None, None))
+    df = spark.createDataFrame(
+        rows, "graph string, subj string, pred string, obj_kind string, "
+              "obj_value string, obj_datatype string, obj_lang string")
+    outs = []
+    for n in (1, 7):
+        got = {r["subj"]: r["node_json"]
+               for r in from_rdf_nodes(df.repartition(n)).collect()}
+        outs.append(got)
+    assert outs[0] == outs[1]
 
 
 def test_from_rdf_nodes_many_groups_no_single_task(spark):

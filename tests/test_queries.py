@@ -102,3 +102,28 @@ def test_rows_only_queries_run(spark, name, fn):
     sdf = fn(spark, SF_DIR)
     assert sdf.count() >= 0
     assert len(sdf.columns) > 0
+
+
+def test_kg_full_build_composite_gate(spark):
+    """kg_full_build has no SQL oracle (its input is synthesized in
+    Python), but it decomposes exactly: output rows == canonized
+    document triples + entity-mention triples, and each half is
+    independently hash/parity-gated elsewhere (extract via the P/R
+    quad oracle, linking via ORACLE_KG_ENTITY_LINK). This pins the
+    union itself."""
+    from jsonld_js_spark.operators.entity_link import (
+        link_entities, mention_triples)
+    from jsonld_js_spark.operators.pipeline import (
+        extract_triples, triples_only)
+    from jsonld_js_spark.queries import kg_full_build
+    from jsonld_js_spark.sources.entities import entities_df
+    from jsonld_js_spark.sources.transcripts import synthesize_transcripts
+
+    total = kg_full_build(spark, SF_DIR).count()
+    tx = synthesize_transcripts(spark, 60, seed=42)
+    n_doc = triples_only(extract_triples(tx, canonicalize=True)).count()
+    ents = entities_df(spark, 300)
+    n_mentions = mention_triples(
+        link_entities(tx, ents, strategy="salted", n_salt=8)).count()
+    assert n_doc > 0 and n_mentions > 0
+    assert total == n_doc + n_mentions
