@@ -48,7 +48,11 @@ def create_inverse_context(active_ctx: dict) -> dict:
         mapping = active_ctx["mappings"][term]
         if mapping is None or mapping.get("@id") is None:
             continue
-        container = "".join(sorted(mapping.get("@container") or ["@none"]))
+        # [] stays [] (JS `[] || '@none'` keeps the truthy empty array,
+        # lib/context.js:1267-1268): an explicit empty/null @container
+        # keys the term under '' — selectable by nothing
+        _cl = mapping.get("@container")
+        container = "".join(sorted(_cl)) if _cl is not None else "@none"
         iri = mapping["@id"]
         entry = inverse.setdefault(iri, {}).setdefault(
             container, {"@language": {}, "@type": {}, "@any": {}})

@@ -18,7 +18,6 @@ from .constants import KEYWORDS, is_keyword, looks_like_keyword
 from .errors import JsonLdError, syntax_error
 from .iri import is_absolute_iri, prepend_base
 
-_CONTAINER_VALUES = frozenset({"@list", "@set", "@index", "@id", "@type", "@language", "@graph"})
 
 
 def initial_context(options: dict | None = None) -> dict:
@@ -427,18 +426,46 @@ def create_term_definition(active_ctx: dict, local_ctx: dict, term: str, defined
         mapping["@type"] = t
 
     if "@container" in value:
+        # faithful to lib/context.js:802-885: length checks count the
+        # RAW array (duplicates included), plain combos are capped at
+        # one value (+@set), 1.0 mode forbids arrays and 1.1 values,
+        # and the stored container is the raw validated list
         cont = value["@container"]
-        conts = cont if isinstance(cont, list) else [cont]
-        if not conts or not all(c in _CONTAINER_VALUES for c in conts):
+        # null normalizes to [] and is ACCEPTED (stored as an empty
+        # list, which the inverse context keys as '' so the term is
+        # never container-selected — lib/context.js:804-805,1267-1268)
+        conts = ([cont] if isinstance(cont, str)
+                 else cont if isinstance(cont, list) else [])
+        valid = {"@list", "@set", "@index", "@language"}
+        is_valid = isinstance(cont, (str, list)) or cont is None
+        has_set = "@set" in conts
+        if active_ctx.get("processingMode") != "json-ld-1.0":
+            valid |= {"@graph", "@id", "@type"}
+            if "@list" in conts:
+                if len(conts) != 1:
+                    raise syntax_error("@container with @list must have no "
+                                       "other values.",
+                                       "invalid container mapping")
+            elif "@graph" in conts:
+                if any(c not in ("@graph", "@id", "@index", "@set")
+                       for c in conts):
+                    raise syntax_error(
+                        "@container with @graph allows only @id, @index, "
+                        "@set.", "invalid container mapping")
+            else:
+                is_valid = is_valid and len(conts) <= (2 if has_set else 1)
+        else:
+            is_valid = is_valid and not isinstance(cont, list)
+            is_valid = is_valid and len(conts) <= 1
+        is_valid = is_valid and all(isinstance(c, str) and c in valid
+                                    for c in conts)
+        is_valid = is_valid and not (has_set and "@list" in conts)
+        if not is_valid:
             raise syntax_error(f"Invalid @container: {cont}", "invalid container mapping")
         cset = set(conts)
-        if "@list" in cset and len(cset) > 1:
-            raise syntax_error("@list container cannot combine.", "invalid container mapping")
-        if "@graph" in cset and cset - {"@graph", "@id", "@index", "@set"}:
-            raise syntax_error("@graph container combination invalid.", "invalid container mapping")
         if mapping["reverse"] and cset - {"@index", "@set"}:
             raise syntax_error("reverse @container must be @index/@set.", "invalid reverse property")
-        mapping["@container"] = sorted(cset)
+        mapping["@container"] = list(conts)
         if "@type" in cset:
             # @type container implies @type:@id default; only @id/@vocab
             # type mappings are allowed (lib/context.js:838-849)

@@ -197,10 +197,13 @@ def expand(active_ctx: dict, element, options: dict, *,
         return None
 
     # drop free-floating unsafe objects; event codes match the
-    # reference's _dropUnsafeObject vocabulary (lib/expand.js:396-437)
-    if isinstance(rval, dict):
+    # reference's _dropUnsafeObject vocabulary (lib/expand.js:396-437).
+    # The guard mirrors lib/expand.js:374-382: also applies under an
+    # active property whose container includes @graph, never in lists.
+    if isinstance(rval, dict) and not inside_list:
         count = len(rval)
-        if active_property is None or active_property == "@graph":
+        if (active_property is None or active_property == "@graph"
+                or "@graph" in ((prop_mapping or {}).get("@container") or [])):
             if count == 0 or "@value" in rval or "@list" in rval:
                 if count:
                     if "@list" in rval:
@@ -221,6 +224,30 @@ def expand(active_ctx: dict, element, options: dict, *,
                       "Dropping object with only @id.")
                 return None
     return rval
+
+
+def _drop_unsafe_graph_item(v, options) -> bool:
+    """_dropUnsafeObject predicate for @graph-container conversion
+    (lib/expand.js:396-437 via :963): one warning per dropped item."""
+    if not isinstance(v, dict):
+        return False
+    count = len(v)
+    if count == 0:
+        _warn(options, "empty object", "Dropping empty object.")
+        return True
+    if "@value" in v:
+        _warn(options, "object with only @value",
+              "Dropping object with only @value.")
+        return True
+    if "@list" in v:
+        _warn(options, "object with only @list",
+              "Dropping object with only @list.")
+        return True
+    if count == 1 and "@id" in v:
+        _warn(options, "object with only @id",
+              "Dropping object with only @id.")
+        return True
+    return False
 
 
 def _expand_object(active_ctx, active_property, element, rval, options, *,
@@ -405,6 +432,13 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
                               else [expanded_value]}
         if "@graph" in container and not ("@id" in container or "@index" in container):
             ev = expanded_value if isinstance(expanded_value, list) else [expanded_value]
+            if not options.get("frameExpansion"):
+                # graph conversion drops unsafe items first (empty,
+                # @value-/@list-bearing, lone @id) and skips the whole
+                # property when nothing survives — lib/expand.js:952-968
+                ev = [v for v in ev if not _drop_unsafe_graph_item(v, options)]
+                if not ev:
+                    continue
             expanded_value = [
                 v if is_graph(v) else {"@graph": v if isinstance(v, list) else [v]}
                 for v in ev

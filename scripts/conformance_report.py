@@ -46,35 +46,19 @@ def main() -> None:
         p, f = passed.get(g, 0), failed.get(g, 0)
         status = "PASS" if f == 0 else f"**{f} FAIL**"
         lines.append(f"| {g} | {p + f} | {status} |")
-    lines += [
+    lines.append(
         f"| **total** | **{total_p + total_f}** | "
-        f"{'**all pass**' if total_f == 0 else f'**{total_f} failing**'} |",
-        "",
-        "## Deliberate divergences from the reference",
-        "",
-        "- bnode **graph names** through the RDF/JS dataset interface:",
-        "  the reference reads `graph.value` raw in fromRDF",
-        "  (lib/fromRdf.js:80) while stripping `_:` elsewhere, so its own",
-        "  toRDF->fromRDF round-trip yields `b0` ids for bnode graphs; we",
-        "  emit spec-correct `_:b0` (the differential test normalizes).",
-        "",
-        "## Reference quirks replicated for parity",
-        "",
-        "- framing `cleanupNull` filters arrays with JS truthiness,",
-        "  dropping 0/false/'' (lib/frame.js:337).",
-        "- `useNativeTypes` keeps `@type` on every non-convertible",
-        "  literal including xsd:string (lib/fromRdf.js:351-377).",
-        "- property-valued `@index` compaction looks up the RAW index",
-        "  key in the compacted item (lib/compact.js:558-584).",
-        "",
-        "## Not oracle-checkable here",
-        "",
-        "- RDFC-1.0 canonicalization: the reference delegates to the",
-        "  rdf-canonize npm package (absent; no network). Covered instead",
-        "  by label-invariance-under-relabeling property fuzz, n-degree",
-        "  tie-break vectors, and the maxWorkFactor poison bound",
-        "  (tests/test_canon.py).",
-    ]
+        f"{'**all pass**' if total_f == 0 else f'**{total_f} failing**'} |")
+    # preserve the hand-maintained prose (divergences / quirks /
+    # not-oracle-checkable sections) from the existing file
+    path = os.path.join(REPO, "CONFORMANCE.md")
+    prose = ""
+    if os.path.exists(path):
+        cur = open(path).read()
+        idx = cur.find("## Deliberate divergences")
+        if idx != -1:
+            prose = cur[idx:]
+    lines += ["", prose.rstrip()] if prose else []
     with open(os.path.join(REPO, "CONFORMANCE.md"), "w") as fobj:
         fobj.write("\n".join(lines) + "\n")
     print(f"passed={total_p} failed={total_f}")

@@ -1085,3 +1085,163 @@ def test_compact_arrays_off_grammars(oracle, wave, gi):
             f"ref ={json.dumps(ref['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
+
+
+def _rand_doc6(rng: random.Random):
+    """Sixth grammar: @protected term semantics (identical vs changed
+    redefinition, property-scoped overrides, term-null / context-null
+    against protected state), @version gating, container-combination
+    validation, @prefix terms, keyword-alias collisions. Error parity
+    matters as much as result parity here — roughly half the corpus
+    should be rejected, and the kernel must reject exactly the same
+    half (lib/context.js createTermDefinition + _validateContainer)."""
+    ctx: dict = {"@vocab": V}
+    doc: dict = {}
+    if rng.random() < 0.4:
+        ctx["@version"] = rng.choice([1.1, 1.1, "1.1", 1.0])
+    protected_ctx = rng.random() < 0.6
+    if protected_ctx:
+        ctx["@protected"] = True
+    # a protected-or-not base term
+    ctx["name"] = ({"@id": V + "name", "@protected": True}
+                   if not protected_ctx and rng.random() < 0.5
+                   else V + "name")
+    # a prefix term, sometimes with @prefix flag
+    pref = {"@id": "http://pfx.org/ns#"}
+    if rng.random() < 0.5:
+        pref["@prefix"] = rng.choice([True, False, "yes"])
+    ctx["pfx"] = pref if rng.random() < 0.7 else "http://pfx.org/ns#"
+    # container combinations: mix valid and invalid shapes
+    if rng.random() < 0.7:
+        ctx["coll"] = {
+            "@id": V + "coll",
+            "@container": rng.choice([
+                ["@graph", "@id"], ["@graph", "@index"],
+                ["@graph", "@id", "@set"], ["@id", "@set"],
+                ["@type", "@set"], ["@index", "@id"],
+                ["@list", "@set"], ["@language", "@set"],
+                ["@graph", "@list"], "@graph",
+            ])}
+    # property-scoped context that may override the protected term
+    if rng.random() < 0.6:
+        scoped: dict = {"name": rng.choice(
+            [V + "name",                       # identical -> allowed
+             V + "other",                      # changed -> ?
+             {"@id": V + "name", "@type": "@id"},
+             None])}                           # nulling a protected term
+        ctx["branch"] = {"@id": V + "branch", "@context": scoped}
+    # keyword aliasing, sometimes colliding
+    if rng.random() < 0.4:
+        ctx["id"] = "@id"
+        if rng.random() < 0.3:
+            ctx["ID"] = "@id"
+    if rng.random() < 0.15:
+        ctx[""] = V + "empty"                  # empty-string term
+    doc["@context"] = ctx
+    doc["@id"] = EX + f"n{rng.randrange(3)}"
+    if rng.random() < 0.8:
+        doc["name"] = f"v{rng.randrange(3)}"
+    if rng.random() < 0.5:
+        doc["pfx:rest"] = rng.choice(["x", {"@id": EX + "r"}])
+    if "coll" in ctx:
+        doc["coll"] = rng.choice([
+            {"k1": {"name": "a"}},
+            [{"name": "a"}, {"name": "b"}],
+            {"@id": EX + "gm"},
+        ])
+    if "branch" in ctx and rng.random() < 0.8:
+        doc["branch"] = {"name": f"inner{rng.randrange(2)}"}
+    # inline (embedded) context trying to redefine under protection
+    if rng.random() < 0.5:
+        inner_ctx = rng.choice([
+            {"name": V + "name"},              # identical
+            {"name": V + "changed"},           # changed
+            {"name": None},                    # null the term
+            None,                              # null the whole context
+            {"fresh": V + "fresh"}])
+        doc["nested"] = {"@context": inner_ctx,
+                         "name": "deep" if inner_ctx else "deep0"}
+    return doc
+
+
+GRAMMAR6 = [_rand_doc6(random.Random(70_000 + s)) for s in range(60)]
+
+
+@pytest.mark.parametrize("doc", GRAMMAR6,
+                         ids=[f"g6_{i}" for i in range(len(GRAMMAR6))])
+@pytest.mark.parametrize("op", ["expand", "toRDF", "flatten", "compact"])
+def test_grammar6_matches_reference(oracle, op, doc):
+    from jsonld_js_spark.kernel import compact as k_compact
+    from jsonld_js_spark.kernel import flatten as k_flat
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc, ctx={"@context": doc["@context"]})
+    else:
+        ref = oracle.call(op, doc=doc)
+    try:
+        if op == "expand":
+            mine = k_expand(doc)
+        elif op == "toRDF":
+            mine = k_trd(doc, {"format": "application/n-quads"})
+        elif op == "flatten":
+            mine = k_flat(doc)
+        else:
+            mine = k_compact(doc, doc["@context"])
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True, default=str)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
+
+
+CONTAINER_EDGES = [
+    ["@index", "@index"],             # dup counts toward length
+    ["@graph", "@graph"],             # dup inside the @graph branch
+    ["@set", "@set"],
+    ["@list", "@list"],
+    None,                             # @container: null
+    [],
+    ["@set"],
+    "@none",
+    ["@graph", "@set", "@id", "@index"],
+    ["@graph", "@id", "@index"],
+    ["@language", "@set"],
+    ["@set", "@language"],
+    ["@id", "@type"],
+    ["@index", "@set", "@id"],
+    42,
+    [42],
+]
+
+
+@pytest.mark.parametrize("ci", range(len(CONTAINER_EDGES)),
+                         ids=[f"ce{i}" for i in range(len(CONTAINER_EDGES))])
+@pytest.mark.parametrize("op", ["expand", "compact"])
+def test_container_validation_edges(oracle, op, ci):
+    """@container validation corners (lib/context.js:802-885): raw
+    array length counts duplicates, @container:null is a no-op, plain
+    combos cap at one value (+@set), garbage types error."""
+    cont = CONTAINER_EDGES[ci]
+    ctx = {"@vocab": V, "t": {"@id": V + "t", "@container": cont}}
+    doc = {"@context": ctx,
+           "t": {"k": {"@id": EX + "v"}} if isinstance(cont, list)
+           and "@graph" not in cont and ("@index" in cont or "@id" in cont)
+           else "plain"}
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc, ctx={"@context": ctx})
+    else:
+        ref = oracle.call(op, doc=doc)
+    try:
+        if op == "expand":
+            mine = k_expand(doc)
+        else:
+            from jsonld_js_spark.kernel import compact as k_compact
+            mine = k_compact(doc, ctx)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True, default=str)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
