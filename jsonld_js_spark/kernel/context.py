@@ -69,10 +69,19 @@ def _resolve_context_url(url: str, options: dict) -> object:
     if callable(options.get("document_loader")):
         # full loader path (Link headers, redirects — kernel/loader.py);
         # the reference validates the fetched body is a context object
-        # (lib/ContextResolver.js:170-186)
+        # and wraps ANY loader failure for a context URL as
+        # 'loading remote context failed' (lib/ContextResolver.js
+        # _fetchContext catch block)
         from .loader import get_document
 
-        remote = get_document(url, options)
+        try:
+            remote = get_document(url, options)
+        except JsonLdError as err:
+            raise JsonLdError(
+                "Dereferencing a URL did not result in a valid JSON-LD "
+                f"object. URL: \"{url}\".",
+                "jsonld.InvalidUrl",
+                code="loading remote context failed") from err
         doc = remote.get("document")
         if not isinstance(doc, dict) or "@context" not in doc:
             raise syntax_error(
@@ -218,6 +227,10 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
 
         if "@import" in ctx:
             imp = ctx["@import"]
+            if active_ctx.get("processingMode") == "json-ld-1.0":
+                raise syntax_error(
+                    "@import not compatible with json-ld-1.0",
+                    "invalid context entry")
             if not isinstance(imp, str):
                 raise syntax_error("@import must be a string.", "invalid @import value")
             imported = _resolve_context_url(prepend_base(rval.get("@base"), imp), options)
@@ -277,6 +290,10 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
 
         if "@direction" in ctx:
             d = ctx["@direction"]
+            if active_ctx.get("processingMode") == "json-ld-1.0":
+                raise syntax_error(
+                    "@direction not compatible with json-ld-1.0",
+                    "invalid context member")
             if d is not None and d not in ("ltr", "rtl"):
                 raise syntax_error('@direction must be "ltr", "rtl", or null.', "invalid base direction")
             rval["@direction"] = d
@@ -416,7 +433,10 @@ def create_term_definition(active_ctx: dict, local_ctx: dict, term: str, defined
         if not isinstance(t, str):
             raise syntax_error("@type value must be a string.", "invalid type mapping")
         if t in ("@json", "@none"):
-            pass
+            if active_ctx.get("processingMode") == "json-ld-1.0":
+                raise syntax_error(
+                    f"@context @type value must not be {t!r} in JSON-LD 1.0 "
+                    "mode.", "invalid type mapping")
         elif t not in ("@id", "@vocab"):
             t = expand_iri(active_ctx, t, vocab=True, local_ctx=local_ctx, defined=defined, options=options)
             if not is_absolute_iri(t):
@@ -524,8 +544,11 @@ def create_term_definition(active_ctx: dict, local_ctx: dict, term: str, defined
         mapping["@nest"] = n
 
     # unrecognized members are errors
-    allowed = {"@id", "@reverse", "@type", "@container", "@context", "@language",
-               "@direction", "@index", "@nest", "@prefix", "@protected"}
+    allowed = {"@id", "@reverse", "@type", "@container", "@language"}
+    if active_ctx.get("processingMode") != "json-ld-1.0":
+        # 1.1-only term-definition members (lib/context.js:566-572)
+        allowed |= {"@context", "@direction", "@index", "@nest", "@prefix",
+                    "@protected"}
     extra = set(value) - allowed
     if extra:
         raise syntax_error(f"Invalid term definition members: {sorted(extra)}",

@@ -652,6 +652,39 @@ WHERE CAST(len(list_intersect(d1.toks, d2.toks)) AS DOUBLE)
 '''
 
 
+def doc_dedup_components(spark, sf_dir):
+    """Connected-component dedup over the capped-LSH near-dup pairs
+    (operators/dedup.dedup_components): iterative min-label propagation
+    whose round count scales with component DIAMETER, not corpus size.
+    The oracle reproduces the exact pairs CTE and closes it with a
+    recursive min-reachability CTE — a full hash-level gate for the
+    component labeling itself."""
+    from .operators.dedup import dedup_components, minhash_lsh_pairs
+
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", _tokens(F.col("text")).alias("toks")))
+    pairs, _dropped = minhash_lsh_pairs(
+        d, n_minhash=_N_MINHASH, n_bands=_N_BANDS, threshold=0.5,
+        max_bucket=_MAX_BUCKET)
+    return dedup_components(pairs)
+
+
+ORACLE_DOC_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_DOC_MINHASH_CAPPED}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION ALL
+  SELECT doc2 AS a, doc1 AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  SELECT node, node AS comp FROM nodes
+  UNION
+  SELECT e.b AS node, r.comp FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node
+"""
+
+
 def doc_simhash(spark, sf_dir):
     """32-bit SimHash per document from token md5 bits (sum of ±1 per
     bit position over tokens, sign -> bit). Pure column algebra — no
@@ -1284,6 +1317,7 @@ QUERIES = {
     "doc_dedup_minhash_lsh": (doc_dedup_minhash_lsh, ORACLE_DOC_MINHASH),
     "doc_dedup_minhash_capped": (doc_dedup_minhash_capped,
                                  ORACLE_DOC_MINHASH_CAPPED),
+    "doc_dedup_components": (doc_dedup_components, ORACLE_DOC_COMPONENTS),
     "doc_simhash": (doc_simhash, ORACLE_DOC_SIMHASH),
     "doc_text_stats": (doc_text_stats, ORACLE_DOC_TEXT_STATS),
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),

@@ -1245,3 +1245,71 @@ def test_container_validation_edges(oracle, op, ci):
             f"ref ={json.dumps(ref['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
+
+
+MODE10_DOCS = [
+    # container arrays are 1.0-invalid even when 1.1-valid
+    {"@context": {"@vocab": V, "t": {"@id": V + "t", "@container": ["@set"]}},
+     "t": "v"},
+    {"@context": {"@vocab": V,
+                  "t": {"@id": V + "t", "@container": ["@index", "@set"]}},
+     "t": {"k": "v"}},
+    # 1.1-only container values
+    {"@context": {"@vocab": V, "t": {"@id": V + "t", "@container": "@id"}},
+     "t": {"k": {"name": "v"}}},
+    {"@context": {"@vocab": V, "t": {"@id": V + "t", "@container": "@graph"}},
+     "t": {"@id": EX + "n", "p": "v"}},
+    {"@context": {"@vocab": V, "t": {"@id": V + "t", "@container": "@type"}},
+     "t": {"T": {"name": "v"}}},
+    # 1.0-valid simple containers
+    {"@context": {"@vocab": V, "t": {"@id": V + "t", "@container": "@index"}},
+     "t": {"k": "v"}},
+    {"@context": {"@vocab": V, "t": {"@id": V + "t", "@container": "@list"}},
+     "t": ["a", "b"]},
+    # @version in context under 1.0 mode
+    {"@context": {"@version": 1.1, "@vocab": V}, "p": "v"},
+    # 1.1 keywords in term definitions under 1.0
+    {"@context": {"@vocab": V, "t": {"@id": V + "t", "@prefix": True}},
+     "t:x": "v"},
+    {"@context": {"@vocab": V, "@protected": True, "name": V + "name"},
+     "name": "v"},
+    {"@context": {"@vocab": V, "t": {"@id": V + "t", "@nest": "@nest"}},
+     "t": "v"},
+    {"@context": {"@vocab": V,
+                  "t": {"@id": V + "t", "@context": {"inner": V + "i"}}},
+     "t": {"inner": "v"}},
+    # @direction / @json are 1.1-only
+    {"@context": {"@vocab": V, "@direction": "rtl"}, "p": "v"},
+    {"@context": {"@vocab": V, "t": {"@id": V + "t", "@type": "@json"}},
+     "t": {"any": 1}},
+    {"@context": {"@vocab": V, "t": {"@id": V + "t", "@type": "@none"}},
+     "t": "v"},
+    # graph containers' 1.1 expansion shapes behave as plain terms in 1.0
+    {"@context": {"@vocab": V, "nested": "@nest"}, "nested": {"p": "v"}},
+]
+
+
+@pytest.mark.parametrize("di", range(len(MODE10_DOCS)),
+                         ids=[f"m10_{i}" for i in range(len(MODE10_DOCS))])
+@pytest.mark.parametrize("op", ["expand", "toRDF"])
+def test_processing_mode_10(oracle, op, di):
+    """processingMode json-ld-1.0: the 1.0 branches of container
+    validation (no arrays, no @graph/@id/@type), @version rejection,
+    and 1.1-keyword gating (lib/context.js:853-859 + processingMode
+    checks throughout createTermDefinition)."""
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    doc = MODE10_DOCS[di]
+    opts = {"processingMode": "json-ld-1.0"}
+    ref = oracle.call(op, doc=doc, options=opts)
+    try:
+        if op == "expand":
+            mine = k_expand(doc, dict(opts))
+        else:
+            mine = k_trd(doc, {**opts, "format": "application/n-quads"})
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True, default=str)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"

@@ -304,3 +304,95 @@ def test_get_context_value():
     assert kapi.get_context_value(ctx, None, "@language") is None
     entry = kapi.get_context_value(ctx, "name")
     assert entry and entry["@id"] == V + "name"
+
+
+# ------------------------------------------------------- @import battery
+
+IMPORT_CASES = {
+    # imported terms merged; importing context's own members win
+    "import_basic": (
+        {f"{E}base.jsonld": {"document": {"@context": {
+            "a": V + "a", "b": V + "b"}}}},
+        {"@context": {"@version": 1.1, "@import": f"{E}base.jsonld",
+                      "b": V + "b2"},
+         "a": "x", "b": "y"}),
+    # local term beats imported term
+    "import_override_vocab": (
+        {f"{E}base.jsonld": {"document": {"@context": {
+            "@vocab": "http://imported.org/", "p": V + "p"}}}},
+        {"@context": {"@version": 1.1, "@import": f"{E}base.jsonld",
+                      "@vocab": V},
+         "p": "v", "q": "w"}),
+    # imported context itself carrying @import -> error
+    "import_nested_import": (
+        {f"{E}outer.jsonld": {"document": {"@context": {
+            "@import": f"{E}inner.jsonld"}}},
+         f"{E}inner.jsonld": {"document": {"@context": {"a": V + "a"}}}},
+        {"@context": {"@version": 1.1, "@import": f"{E}outer.jsonld"},
+         "a": "x"}),
+    # @import value must be a string
+    "import_non_string": (
+        {},
+        {"@context": {"@version": 1.1, "@import": {"a": V + "a"}}, "a": "x"}),
+    # imported document must hold a context OBJECT (not an array)
+    "import_array_context": (
+        {f"{E}arr.jsonld": {"document": {"@context": [
+            {"a": V + "a"}, {"b": V + "b"}]}}},
+        {"@context": {"@version": 1.1, "@import": f"{E}arr.jsonld"},
+         "a": "x"}),
+    # imported protected terms stay protected through the merge
+    "import_protected": (
+        {f"{E}prot.jsonld": {"document": {"@context": {
+            "@protected": True, "name": V + "name"}}}},
+        [{"@context": {"@version": 1.1, "@import": f"{E}prot.jsonld"},
+          "name": "v"},
+         {"@context": [{"@version": 1.1, "@import": f"{E}prot.jsonld"},
+                       {"name": V + "changed"}],
+          "name": "v2"}]),
+    # missing import target -> loading error
+    "import_missing": (
+        {},
+        {"@context": {"@version": 1.1, "@import": f"{E}nope.jsonld"},
+         "a": "x"}),
+}
+
+
+@pytest.mark.parametrize("name", IMPORT_CASES, ids=list(IMPORT_CASES))
+def test_import_matches_reference(oracle, name):
+    """@context @import (JSON-LD 1.1 §9.12; lib/context.js @import
+    handling): merge semantics, nested-@import rejection, type and
+    shape validation, protected-term propagation through the import."""
+    documents, doc = IMPORT_CASES[name]
+    mine, ref = _both(oracle, "expand", documents, doc=doc)
+    if ref["ok"]:
+        assert not (isinstance(mine, tuple) and mine[0] == "error"), \
+            f"{name}: we errored {mine} but reference ok: {ref['result']}"
+        assert deep_eq(mine, ref["result"]), \
+            f"{name}: mine={mine} ref={ref['result']}"
+    else:
+        assert isinstance(mine, tuple) and mine[0] == "error", \
+            f"{name}: reference errored ({ref['code']}) but we returned {mine}"
+        assert mine[1] == ref["code"], f"{name}: {mine[1]} vs {ref['code']}"
+
+
+def test_import_under_10_mode(oracle):
+    """@import requires 1.1 processing mode."""
+    documents = {f"{E}b.jsonld": {"document": {"@context": {"a": V + "a"}}}}
+    doc = {"@context": {"@import": f"{E}b.jsonld"}, "a": "x"}
+    loader_table = {url: d["document"] for url, d in documents.items()}
+
+    def py_loader(url):
+        d = documents.get(url)
+        return {"contextUrl": None, "documentUrl": url,
+                "document": d["document"]}
+
+    ref = oracle.call("expand", documents=documents, doc=doc,
+                      options={"processingMode": "json-ld-1.0"})
+    try:
+        mine = kapi.expand(doc, {"document_loader": py_loader,
+                                 "processingMode": "json-ld-1.0"})
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"])
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
+        assert e.code == ref["code"]
