@@ -275,6 +275,14 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                 rval["@vocab"] = None
             elif not isinstance(vocab, str):
                 raise syntax_error("@vocab must be a string or null.", "invalid vocab mapping")
+            elif not is_absolute_iri(vocab) and \
+                    rval.get("processingMode") == "json-ld-1.0":
+                # 1.0 forbids relative @vocab; checked against the
+                # EVOLVING context's mode (lib/context.js:223-228), so
+                # an earlier @version 1.1 in the same object lifts it
+                raise syntax_error(
+                    'the value of "@vocab" in a @context must be an '
+                    "absolute IRI.", "invalid vocab mapping")
             else:
                 # may be relative: resolve against @vocab then @base (1.1)
                 rval["@vocab"] = expand_iri(rval, vocab, vocab=True, base=True)

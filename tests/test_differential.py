@@ -1313,3 +1313,25 @@ def test_processing_mode_10(oracle, op, di):
             f"ref ={json.dumps(ref['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
+
+
+@pytest.mark.parametrize("gi", range(0, 60, 4),
+                         ids=[f"m10s_{i}" for i in range(0, 60, 4)])
+@pytest.mark.parametrize("wave", ["g4", "g5", "g6"])
+def test_mode10_sweep_over_grammars(oracle, wave, gi):
+    """Every grammar-4/5/6 document re-run under processingMode
+    json-ld-1.0: most contain 1.1 constructs and must fail with the
+    SAME ok/error verdict as the reference (the 1.0 gates sit in many
+    different branches of createTermDefinition/processContext — a
+    sweep catches gates the targeted battery misses)."""
+    doc = {"g4": GRAMMAR4, "g5": GRAMMAR5, "g6": GRAMMAR6}[wave][gi]
+    opts = {"processingMode": "json-ld-1.0"}
+    ref = oracle.call("expand", doc=doc, options=opts)
+    try:
+        mine = k_expand(doc, dict(opts))
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True, default=str)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
