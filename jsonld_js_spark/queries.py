@@ -767,15 +767,21 @@ FROM s GROUP BY source
 
 def doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: min-hash over rolling 8-char grams
-    (winnowing-lite). Grams via native sequence+transform — no UDF."""
+    (winnowing-lite). Entirely per-row array algebra — array_min /
+    array_distinct over a transform of the gram sequence — so there is
+    NO explode, NO shuffle, NO aggregation: the old shape exploded
+    length(text) rows per document into a groupBy (a corpus-sized
+    shuffle at 100 TB). Per-row arrays are bounded by document length;
+    for multi-MB documents switch back to the streaming explode."""
     d = load(spark, sf_dir, "documents").filter(F.length("text") >= 8)
     grams = F.transform(
         F.sequence(F.lit(1), F.length("text") - 7),
         lambda i: F.col("text").substr(i, F.lit(8)))
-    g = d.select("doc_id", F.explode(grams).alias("g"))
-    return (g.groupBy("doc_id")
-            .agg(F.min(_hash60(F.col("g"))).alias("fingerprint"),
-                 F.countDistinct("g").alias("n_grams")))
+    return d.select(
+        "doc_id",
+        F.array_min(F.transform(grams, lambda g: _hash60(g)))
+        .alias("fingerprint"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_grams"))
 
 
 ORACLE_DOC_FINGERPRINT = """

@@ -43,3 +43,61 @@ def test_partial_aggregation_present(spark):
 def test_topk_uses_take_ordered(spark):
     plan = _plan(q_topk_orders(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_verify_join_has_no_broadcast_hint(spark):
+    """Round-3 fix: the LSH verify joins must not HINT a broadcast of
+    the corpus-sized rep token table — the analyzed plan carries no
+    broadcast hints at all; AQE may still choose broadcast at runtime
+    for the post-semi-join (small) side, which is the point."""
+    from jsonld_js_spark.queries import (
+        doc_dedup_minhash_capped,
+        doc_dedup_minhash_lsh,
+    )
+
+    for fn in (doc_dedup_minhash_lsh, doc_dedup_minhash_capped):
+        analyzed = fn(spark, SF)._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed and \
+            "UnresolvedHint" not in analyzed, fn.__name__
+
+
+def test_lsh_topk_plan_is_jvm_side_equi_join(spark):
+    """ANN scale path: candidate generation must be a hash equi-join
+    on (band, sig) — no cartesian/nested-loop over the corpus — and
+    the signature math must stay JVM-side (no Python eval stages)."""
+    from jsonld_js_spark.queries import emb_knn_lsh
+
+    plan = _plan(emb_knn_lsh(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only nested-loop join allowed is the broadcast of the tiny
+    # query side in the re-rank; the bucket join itself is hash-based
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan or \
+        "BroadcastHashJoin" in plan
+
+
+def test_ivf_centroids_partial_agg_and_broadcast(spark):
+    """IVF: centroid build is a partial+final hash aggregation and the
+    tiny centroid table is broadcast to the probes."""
+    from jsonld_js_spark.queries import emb_knn_ivf
+
+    plan = _plan(emb_knn_ivf(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "Broadcast" in plan
+
+
+def test_resumable_write_is_multi_task(spark, tmp_path):
+    """Round-3 fix: per-group lineage writes land in multiple tasks
+    (deterministic hash spread), not a repartition(1) funnel."""
+    import os
+
+    from jsonld_js_spark.plans.lineage import run_resumable
+    from jsonld_js_spark.sources.transcripts import synthesize_transcripts
+
+    tx = synthesize_transcripts(spark, 40, seed=7)
+    out = str(tmp_path / "lin")
+    run_resumable(tx, out, n_groups=2, files_per_group=4)
+    for g in range(2):
+        parts = [f for f in os.listdir(os.path.join(out, "data", f"part_group={g}"))
+                 if f.startswith("part-")]
+        assert len(parts) > 1, f"group {g} wrote a single task"
