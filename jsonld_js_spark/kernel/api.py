@@ -323,6 +323,8 @@ def merge(docs: list, ctx=None, options: dict | None = None,
     from .types import is_subject_reference
 
     options = _prepare(options)
+    if "mergeNodes" in options:  # option form wins (lib/jsonld.js:796-798)
+        merge_nodes = bool(options["mergeNodes"])
     issuer = options.get("issuer") or IdentifierIssuer("_:b")
     graphs: dict = {"@default": {}}
     for i, doc in enumerate(docs):

@@ -913,7 +913,12 @@ def kg_fromrdf_nodes(spark, sf_dir):
         .otherwise(F.lit("literal")).alias("obj_kind"),
         F.col("obj").alias("obj_value"),
         F.lit(None).cast("string").alias("obj_datatype"),
-        F.lit(None).cast("string").alias("obj_lang"))
+        F.lit(None).cast("string").alias("obj_lang")).cache()
+    # cached: from_rdf_nodes consumes its input from three plans (list
+    # links, chain walk, per-subject assembly) — uncached, each one
+    # re-runs the upstream Python-kernel extraction (at 100 TB: the
+    # triples table would be a materialized parquet/Iceberg input, so
+    # the re-scan problem is local to this derived-on-the-fly demo)
     nodes = from_rdf_nodes(full)
     return nodes.select(
         "subj",

@@ -1335,3 +1335,94 @@ def test_mode10_sweep_over_grammars(oracle, wave, gi):
             f"ref ={json.dumps(ref['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
+
+
+FRAME3_CASES = {
+    # frame into a named graph: node carries @graph, frame requests it
+    "graph_in_frame": (
+        [{"@id": EX + "g1", "@graph": [
+            {"@id": EX + "a", "@type": V + "T",
+             V + "p": [{"@value": "x"}]}]},
+         {"@id": EX + "b", "@type": V + "T", V + "p": [{"@value": "y"}]}],
+        {"@context": {"@vocab": V}, "@type": "T",
+         "@graph": {}}),
+    # top-level graph selection with explicit flag
+    "graph_explicit": (
+        [{"@id": EX + "g1", "@graph": [
+            {"@id": EX + "a", V + "p": [{"@value": "x"}],
+             V + "q": [{"@value": "z"}]}]}],
+        {"@context": {"@vocab": V}, "@explicit": True,
+         "@graph": {"p": {}}}),
+    # @reverse in the frame: select nodes by their incoming edges
+    "reverse_frame": (
+        [{"@id": EX + "a", V + "knows": [{"@id": EX + "b"}]},
+         {"@id": EX + "b", V + "name": [{"@value": "bee"}]},
+         {"@id": EX + "c", V + "name": [{"@value": "sea"}]}],
+        {"@context": {"@vocab": V},
+         "@reverse": {"knows": {}}}),
+    # reverse alias term in frame context
+    "reverse_term_frame": (
+        [{"@id": EX + "a", V + "knows": [{"@id": EX + "b"}]},
+         {"@id": EX + "b", V + "name": [{"@value": "bee"}]}],
+        {"@context": {"@vocab": V,
+                      "knownBy": {"@reverse": V + "knows"}},
+         "knownBy": {}}),
+    # frame with @included block
+    "included_frame": (
+        [{"@id": EX + "a", "@type": V + "T"},
+         {"@id": EX + "b", "@type": V + "U"}],
+        {"@context": {"@vocab": V}, "@type": "T",
+         "@included": [{"@type": "U"}]}),
+    # list values under framing
+    "list_frame": (
+        [{"@id": EX + "a",
+          V + "steps": [{"@list": [{"@value": "s1"}, {"@value": "s2"}]}]}],
+        {"@context": {"@vocab": V}, "steps": {}}),
+    # default + embed @never inside a graph frame
+    "graph_embed_never": (
+        [{"@id": EX + "g1", "@graph": [
+            {"@id": EX + "a", V + "p": [{"@id": EX + "b"}]},
+            {"@id": EX + "b", V + "q": [{"@value": "y"}]}]}],
+        {"@context": {"@vocab": V},
+         "@graph": {"p": {"@embed": "@never"}}}),
+}
+
+
+@pytest.mark.parametrize("name", FRAME3_CASES, ids=list(FRAME3_CASES))
+def test_frame_graphs_and_reverse(oracle, name):
+    """Frame wave 3: named-graph framing, @reverse frames (both raw
+    and via reverse terms), @included blocks, lists, graph-scoped
+    embed flags (lib/frame.js graph handling + @reverse at :214-268)."""
+    from jsonld_js_spark.kernel import frame as k_frame3
+
+    docs, frm = FRAME3_CASES[name]
+    ref = oracle.call("frame", doc=docs, frame=frm)
+    try:
+        mine = k_frame3(docs, frm, {})
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"frame={json.dumps(frm, sort_keys=True)}\n"
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
+
+
+def test_merge_nodes_false_matches_reference(oracle):
+    """merge with mergeNodes:false keeps same-@id nodes from later
+    documents intact instead of merging their properties
+    (lib/jsonld.js:796-798, 813-830)."""
+    from jsonld_js_spark.kernel.api import merge as k_merge2
+
+    docs = [
+        {"@id": EX + "n", V + "p": "first", V + "shared": "a"},
+        {"@id": EX + "n", V + "p": "second", V + "q": "only2"},
+        {"@id": EX + "m", V + "r": "third"},
+    ]
+    for flag in (True, False):
+        ref = oracle.call("merge", docs=docs, options={"mergeNodes": flag})
+        assert ref["ok"], ref
+        mine = k_merge2(docs, None, {"mergeNodes": flag})
+        assert deep_eq(mine, ref["result"]), (
+            f"mergeNodes={flag}:\nmine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
