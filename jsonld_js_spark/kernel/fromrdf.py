@@ -15,6 +15,7 @@ import math
 import re
 
 from . import constants as C
+from .errors import JsonLdError
 
 
 
@@ -140,6 +141,17 @@ def from_rdf(quads: list[dict], *, use_rdf_type: bool = False,
              use_native_types: bool = False,
              rdf_direction: str | None = None) -> list:
     """Quads -> expanded JSON-LD array."""
+    if rdf_direction:
+        # lib/fromRdf.js:64-76: compound-literal is recognized but
+        # unsupported on the fromRDF side; anything else is unknown
+        if rdf_direction == "compound-literal":
+            raise JsonLdError("Unsupported rdfDirection value.",
+                              "jsonld.InvalidRdfDirection",
+                              details={"value": rdf_direction})
+        if rdf_direction != "i18n-datatype":
+            raise JsonLdError("Unknown rdfDirection value.",
+                              "jsonld.InvalidRdfDirection",
+                              details={"value": rdf_direction})
     default_graph: dict = {}
     graph_map: dict[str, dict] = {"@default": default_graph}
     referenced_once: dict[str, object] = {}

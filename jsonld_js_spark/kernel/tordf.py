@@ -18,6 +18,7 @@ import math
 import re
 
 from . import constants as C
+from .errors import JsonLdError
 from .iri import is_absolute_iri
 from .jcs import canonicalize
 from .nodemap import IdentifierIssuer, create_node_map
@@ -194,27 +195,27 @@ def _object_to_rdf(dataset, item, issuer, graph_term, options) -> dict | None:
             obj["value"] = str(value)
             obj["datatype"]["value"] = f"{C.I18N_NS}{(language or '')}_{direction}"
         elif direction is not None and options.get("rdfDirection") == "compound-literal":
-            # compound literal: bnode with rdf:value/rdf:language/rdf:direction
-            node = blank_node(issuer.get_id())
-            dataset.append({"subject": node, "predicate": named_node(C.RDF + "value"),
-                            "object": {"termType": "Literal", "value": str(value),
-                                       "datatype": named_node(C.XSD_STRING), "language": ""},
-                            "graph": graph_term})
-            if language:
-                dataset.append({"subject": node, "predicate": named_node(C.RDF + "language"),
-                                "object": {"termType": "Literal", "value": language,
-                                           "datatype": named_node(C.XSD_STRING), "language": ""},
-                                "graph": graph_term})
-            dataset.append({"subject": node, "predicate": named_node(C.RDF + "direction"),
-                            "object": {"termType": "Literal", "value": direction,
-                                       "datatype": named_node(C.XSD_STRING), "language": ""},
-                            "graph": graph_term})
-            return node
+            # the reference does NOT implement compound literals — it
+            # throws lazily, only when a directional value actually
+            # serializes (lib/toRdf.js:316-320); replicated exactly
+            raise JsonLdError("Unsupported rdfDirection value.",
+                              "jsonld.InvalidRdfDirection",
+                              details={"value": options.get("rdfDirection")})
+        elif direction is not None and options.get("rdfDirection"):
+            raise JsonLdError("Unknown rdfDirection value.",
+                              "jsonld.InvalidRdfDirection",
+                              details={"value": options.get("rdfDirection")})
         elif language is not None:
+            if direction is not None and not options.get("rdfDirection"):
+                _warn(options, "rdfDirection not set",
+                      "rdfDirection not set for @direction.")
             obj["value"] = value
             obj["datatype"]["value"] = datatype or C.RDF_LANGSTRING
             obj["language"] = language
         else:
+            if direction is not None and not options.get("rdfDirection"):
+                _warn(options, "rdfDirection not set",
+                      "rdfDirection not set for @direction.")
             obj["value"] = value
             obj["datatype"]["value"] = datatype or C.XSD_STRING
         return obj

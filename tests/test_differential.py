@@ -1426,3 +1426,56 @@ def test_merge_nodes_false_matches_reference(oracle):
         assert deep_eq(mine, ref["result"]), (
             f"mergeNodes={flag}:\nmine={json.dumps(mine, sort_keys=True)}\n"
             f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+
+
+@pytest.mark.parametrize("direction", ["compound-literal", "bogus"])
+def test_fromrdf_rejects_bad_rdf_direction(oracle, direction):
+    """fromRDF validates rdfDirection up front: compound-literal is
+    'Unsupported', anything unknown is 'Unknown'
+    (lib/fromRdf.js:64-76)."""
+    from jsonld_js_spark.kernel.errors import JsonLdError as KErr
+    from jsonld_js_spark.kernel.fromrdf import from_rdf as k_fr
+
+    quads = [{"subject": {"termType": "NamedNode", "value": EX + "s"},
+              "predicate": {"termType": "NamedNode", "value": V + "p"},
+              "object": {"termType": "Literal", "value": "x",
+                         "datatype": {"termType": "NamedNode",
+                                      "value": "http://www.w3.org/2001/"
+                                               "XMLSchema#string"},
+                         "language": ""},
+              "graph": {"termType": "DefaultGraph", "value": ""}}]
+    ref = oracle.call("fromRDF", dataset=quads,
+                      options={"rdfDirection": direction})
+    assert not ref["ok"]
+    with pytest.raises(KErr) as ei:
+        k_fr(quads, rdf_direction=direction)
+    assert ("Unsupported" in str(ei.value)) == ("Unsupported" in ref["message"])
+
+
+@pytest.mark.parametrize("direction", ["compound-literal", "bogus", None])
+def test_tordf_direction_validation_is_lazy(oracle, direction):
+    """toRDF's rdfDirection validation fires ONLY when a directional
+    value serializes (lib/toRdf.js:310-325): a doc without @direction
+    passes under any rdfDirection; a directional value throws
+    Unsupported (compound-literal) / Unknown (other), and with NO
+    rdfDirection emits the 'rdfDirection not set' warning instead."""
+    from collections import Counter
+
+    from jsonld_js_spark.kernel import to_rdf as k_trd2
+
+    dir_doc = {"@context": {"@vocab": V, "@direction": "rtl"}, "p": "x"}
+    plain_doc = {"@context": {"@vocab": V}, "p": "x"}
+    opts = {} if direction is None else {"rdfDirection": direction}
+    for doc in (plain_doc, dir_doc):
+        ref = oracle.call("toRDF", doc=doc, options=opts, collectEvents=True)
+        kopts = {**opts, "format": "application/n-quads", "events": []}
+        try:
+            mine = k_trd2(doc, kopts)
+            assert ref["ok"], f"reference errored but we didn't: {ref}"
+            assert mine == ref["result"]
+            assert Counter(e["code"] for e in kopts["events"]) == \
+                Counter(e["code"] for e in ref.get("events", []))
+        except JsonLdError as e:
+            assert not ref["ok"], \
+                f"we errored ({e.code or e.name}) but reference ok: {ref}"
+            assert ("Unsupported" in str(e)) == ("Unsupported" in ref["message"])
