@@ -48,12 +48,12 @@ def main() -> None:
     # pass then measures the marginal rate — the number that predicts
     # cluster throughput.
     triples_only(extract_triples_hybrid(tx)).count()
-    walls = []
+    headline_walls = []
     for _ in range(3):  # median-of-3: the headline must be signal
         t0 = time.perf_counter()
         n_triples = triples_only(extract_triples_hybrid(tx)).count()
-        walls.append(time.perf_counter() - t0)
-    extract_sec = sorted(walls)[1]
+        headline_walls.append(time.perf_counter() - t0)
+    extract_sec = sorted(headline_walls)[1]
     triples_per_sec = n_triples / extract_sec if extract_sec > 0 else 0.0
     tx.unpersist()
 
@@ -91,7 +91,8 @@ def main() -> None:
             "input_turns": n_turns,
             "triples": n_triples,
             "extract_wall_sec": round(extract_sec, 3),
-            "extract_wall_spread": [round(min(walls), 3), round(max(walls), 3)],
+            "extract_wall_spread": [round(min(headline_walls), 3),
+                                    round(max(headline_walls), 3)],
             "heavy_query_spread_min_max": spread,
         },
     }))

@@ -117,6 +117,79 @@ def minhash_lsh_pairs(docs: DataFrame, *, n_minhash: int = 12,
     return pairs, dropped
 
 
+def cosine_neardup_pairs(embeddings: DataFrame, *, threshold: float = 0.9,
+                         bits: int = 64, bands: int = 4, dims: int = 64,
+                         max_bucket: int | None = None,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         seed: int = 42) -> tuple[DataFrame, DataFrame]:
+    """Embedding-cosine near-duplicate pairs — the vector analogue of
+    :func:`minhash_lsh_pairs`. Candidates come from a banded
+    signed-random-projection LSH SELF-join (shuffle bounded by bucket
+    collisions, never the N^2 cross join); the exact cosine verify runs
+    only on candidates, with the corpus semi-joined down to candidate
+    ids first so the full vector table is never broadcast. Hot buckets
+    degrade to a star around the min-id member (linear, component-
+    connected) and are REPORTED via the second returned DataFrame
+    (band, sig, size) — same contract as minhash_lsh_pairs.
+
+    Returns ((id1, id2, cosine) with id1 < id2 and cosine >= threshold,
+    dropped_buckets)."""
+    from .simsearch import _as_double, _cosine, _plane_coefs, _signatures
+
+    e = _as_double(embeddings.select(F.col(id_col).alias("vec_id"),
+                                     F.col(vec_col).alias("v")), "v")
+    coefs = _plane_coefs(dims, bits, seed)
+    sig = _signatures(e, coefs, id_col="vec_id", vec_col="v",
+                      bands=bands, bits=bits)
+
+    w = Window.partitionBy("band", "sig")
+    sized = (sig.withColumn("bsize", F.count(F.lit(1)).over(w))
+             .withColumn("bmin", F.min("vec_id").over(w)))
+    if max_bucket is not None:
+        hot = F.col("bsize") > max_bucket
+        dropped = (sized.filter(hot)
+                   .groupBy("band", "sig")
+                   .agg(F.max("bsize").alias("size")))
+        star = (sized.filter(hot & (F.col("vec_id") != F.col("bmin")))
+                .select(F.col("bmin").alias("id1"),
+                        F.col("vec_id").alias("id2")))
+        cold = sized.filter(~hot)
+    else:
+        dropped = sized.filter(F.lit(False)).select(
+            "band", "sig", F.col("bsize").alias("size"))
+        star = None
+        cold = sized
+    cold = cold.select("vec_id", "band", "sig")
+
+    a = cold.alias("a")
+    b_ = cold.alias("b")
+    cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("id1"),
+                    F.col("b.vec_id").alias("id2")))
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
+
+    # semi-join the corpus down to candidate ids before the verify join
+    # (candidates are small post-LSH); join UNHINTED so AQE broadcasts
+    # the shrunk side only when it fits
+    ids1 = cand.select(F.col("id1").alias("vec_id")).distinct()
+    ids2 = cand.select(F.col("id2").alias("vec_id")).distinct()
+    va = (e.join(ids1, "vec_id", "left_semi")
+          .select(F.col("vec_id").alias("id1"), F.col("v").alias("v1")))
+    vb = (e.join(ids2, "vec_id", "left_semi")
+          .select(F.col("vec_id").alias("id2"), F.col("v").alias("v2")))
+    pairs = (cand.join(va, "id1").join(vb, "id2")
+             .select("id1", "id2",
+                     (F.round(_cosine("v1", "v2"), 6) + F.lit(0.0))
+                     .alias("cosine"))
+             .filter(F.col("cosine") >= threshold)
+             .select("id1", "id2", "cosine"))
+    return pairs, dropped
+
+
 def dedup_components(pairs: DataFrame, *, max_iterations: int = 50) -> DataFrame:
     """(doc_id, component) connected components over near-dup pairs via
     iterative label propagation (min-id convergence) — the standard

@@ -1112,6 +1112,102 @@ WHERE rn <= 10
 """
 
 
+def doc_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup dedup (operators/dedup.
+    cosine_neardup_pairs): banded SRP-LSH self-join generates candidate
+    pairs, exact cosine verifies them at threshold 0.9. Like
+    emb_knn_lsh, near-duplicates are PLANTED arithmetically (every 20th
+    vector gets a clone at id+10^6 mixed 0.97/0.03 with its successor,
+    cosine ~0.999) because the synthetic corpus's organic pairs top out
+    near cosine ~0.45 — the planted set is the training-data dedup
+    workload this operator exists for. The oracle replicates planes,
+    band substrings, the hot-bucket star degrade, and the verify
+    threshold exactly."""
+    from .operators.dedup import cosine_neardup_pairs
+
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism)
+    ed = (e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+          .cache())
+    base = (ed.filter(F.col("vec_id") % 20 == 0)
+            .select(F.col("vec_id").alias("bid"),
+                    F.col("embedding").alias("va")))
+    nxt = (ed.filter((F.col("vec_id") - 1) % 20 == 0)
+           .select((F.col("vec_id") - 1).alias("bid"),
+                   F.col("embedding").alias("vb")))
+    planted = (base.join(nxt, "bid")
+               .select((F.col("bid") + 1000000).alias("vec_id"),
+                       F.zip_with("va", "vb",
+                                  lambda a, b: F.lit(0.97) * a
+                                  + F.lit(0.03) * b).alias("embedding")))
+    corpus = ed.select("vec_id", "embedding").unionByName(planted)
+    pairs, _dropped = cosine_neardup_pairs(
+        corpus, threshold=0.9, bits=_LSH_BITS, bands=_LSH_BANDS,
+        max_bucket=_LSH_MAX_BUCKET)
+    return pairs
+
+
+def _oracle_doc_dedup_embedding() -> str:
+    """DuckDB replica of doc_dedup_embedding: inlined ±1 planes, band
+    substrings, hot-bucket star + drop, a<b candidate self-join,
+    cosine >= 0.9 verify — structurally the same plan."""
+    from .operators.simsearch import _plane_coefs
+
+    bits, bands, dims = _LSH_BITS, _LSH_BANDS, 64
+    rpb = bits // bands
+    coefs = _plane_coefs(dims, bits, seed=42)
+    planes = "[" + ",".join(
+        "[" + ",".join(str(c) for c in row) + "]" for row in coefs) + "]"
+    band_rows = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {i} AS band, substr(bs, {i * rpb + 1}, {rpb}) AS sig"
+        " FROM sigs" for i in range(bands))
+    return f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planted AS (
+  SELECT a.vec_id + 1000000 AS vec_id,
+         list_transform(range(1, 65),
+                        i -> 0.97 * a.v[i] + 0.03 * b.v[i]) AS v
+  FROM e0 a JOIN e0 b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 20 = 0),
+e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id, v FROM planted),
+sigs AS (
+  SELECT vec_id,
+         array_to_string(list_transform({planes},
+             p -> CASE WHEN list_dot_product(v, p) >= 0
+                  THEN '1' ELSE '0' END), '') AS bs
+  FROM e),
+bands0 AS (
+    {band_rows}
+),
+sized AS (
+  SELECT vec_id, band, sig,
+         COUNT(*) OVER (PARTITION BY band, sig) AS bsize,
+         MIN(vec_id) OVER (PARTITION BY band, sig) AS bmin
+  FROM bands0),
+star AS (SELECT bmin AS id1, vec_id AS id2 FROM sized
+         WHERE bsize > {_LSH_MAX_BUCKET} AND vec_id <> bmin),
+cold AS (SELECT vec_id, band, sig FROM sized WHERE bsize <= {_LSH_MAX_BUCKET}),
+cand AS (
+  SELECT DISTINCT id1, id2 FROM (
+    SELECT a.vec_id AS id1, b.vec_id AS id2
+    FROM cold a JOIN cold b USING (band, sig)
+    WHERE a.vec_id < b.vec_id
+    UNION ALL SELECT id1, id2 FROM star)),
+scored AS (
+  SELECT c.id1, c.id2,
+         ROUND(list_dot_product(va.v, vb.v)
+               / (sqrt(list_dot_product(va.v, va.v))
+                  * sqrt(list_dot_product(vb.v, vb.v))), 6) + 0.0 AS cosine
+  FROM cand c
+  JOIN e va ON va.vec_id = c.id1
+  JOIN e vb ON vb.vec_id = c.id2)
+SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.9
+"""
+
+
+ORACLE_DOC_DEDUP_EMBEDDING = _oracle_doc_dedup_embedding()
+
+
 def _docs_as_transcripts(spark, sf_dir):
     """documents -> transcript-shaped rows both engines can derive:
     conv 'doc-<id>', turn doc_id % 5, role by doc_id % 3, the document
@@ -1329,6 +1425,7 @@ QUERIES = {
     "doc_dedup_minhash_capped": (doc_dedup_minhash_capped,
                                  ORACLE_DOC_MINHASH_CAPPED),
     "doc_dedup_components": (doc_dedup_components, ORACLE_DOC_COMPONENTS),
+    "doc_dedup_embedding": (doc_dedup_embedding, ORACLE_DOC_DEDUP_EMBEDDING),
     "doc_simhash": (doc_simhash, ORACLE_DOC_SIMHASH),
     "doc_text_stats": (doc_text_stats, ORACLE_DOC_TEXT_STATS),
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),

@@ -56,3 +56,56 @@ def test_components_connect_capped_cluster(docs):
     assert len({comp[i] for i in range(30)}) == 1
     assert comp[100] == comp[101]
     assert comp[100] != comp[0]
+
+
+# ---------------------------------------------------------------------
+# cosine_neardup_pairs (embedding-cosine near-dup, SRP-LSH self-join)
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """Deterministic corpus: 40 pseudo-random base vectors + planted
+    clones of every 4th one (tiny perturbation, cosine ~1)."""
+    import hashlib
+
+    def vec(i):
+        return [((int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16)
+                  % 2000) - 1000) / 1000.0 for d in range(64)]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    for i in range(0, 40, 4):
+        v = vec(i)
+        rows.append((1000 + i, [x * 0.99 + 0.003 for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df.cache()
+
+
+def test_cosine_neardup_finds_planted_pairs(vectors):
+    from jsonld_js_spark.operators.dedup import cosine_neardup_pairs
+
+    pairs, dropped = cosine_neardup_pairs(vectors, threshold=0.9,
+                                          bits=64, bands=4)
+    got = {(r["id1"], r["id2"]): r["cosine"] for r in pairs.collect()}
+    assert dropped.count() == 0
+    planted = {(i, 1000 + i) for i in range(0, 40, 4)}
+    # 16-bit band sigs: each planted pair (cosine ~0.9999) collides in
+    # at least one band with overwhelming probability; planes are
+    # deterministic so this is a fixed outcome, not a flaky one
+    assert planted <= set(got)
+    assert all(c >= 0.99 for (a, b), c in got.items() if (a, b) in planted)
+    # no organic pair of the pseudo-random bases reaches cosine 0.9
+    assert set(got) == planted
+
+
+def test_cosine_neardup_hot_bucket_star(spark):
+    from jsonld_js_spark.operators.dedup import cosine_neardup_pairs
+
+    # 20 identical vectors: one degenerate bucket per band
+    rows = [(i, [1.0] * 64) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs, dropped = cosine_neardup_pairs(df, threshold=0.9,
+                                          bits=64, bands=4, max_bucket=10)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    # star around min-id member: linear in bucket size, still connected
+    assert got == {(0, i) for i in range(1, 20)}
+    assert dropped.count() == 4  # one hot bucket in each band
