@@ -104,6 +104,10 @@ def compact(doc, ctx, options: dict | None = None):
     """Compact a document under ``ctx``."""
     options = _prepare(options)
     options.setdefault("compactArrays", True)
+    if not options.get("compactToRelative", True):
+        # lib/jsonld.js:164-166: drop the API base so IRIs stay
+        # absolute (an explicit @base inside the context still applies)
+        options.pop("base", None)
     expanded = doc if options.pop("skipExpansion", False) else expand(doc, options)
     active_ctx = initial_context(options)
     active_ctx = process_context(active_ctx, ctx, options)
@@ -188,8 +192,10 @@ def frame(doc, frame_doc, options: dict | None = None):
 
     compacted = compact(framed, frame_ctx,
                         {**options, "skipExpansion": True, "framing": True,
+                         "link": {},
                          "graph": not options.get("omitGraph", True)})
     compacted = _frame.cleanup_preserve(compacted, options)
+    options["link"] = {}  # fresh visited map (lib/jsonld.js:491)
     compacted = _frame.cleanup_null(compacted, options)
     return compacted
 

@@ -431,8 +431,23 @@ def compact(active_ctx, element, options: dict | None = None, *,
     if not isinstance(element, dict):
         return element
 
+    # in-memory linked nodes (@embed:@link framing): reuse the already-
+    # compacted object for the IDENTICAL expanded element so shared /
+    # cyclic nodes stay shared and compaction terminates
+    # (lib/compact.js:105-114)
+    if options.get("link") is not None and "@id" in element and \
+            element["@id"] in options["link"]:
+        for pair in options["link"][element["@id"]]:
+            if pair["expanded"] is element:
+                return pair["compacted"]
+
     if is_value(element) or is_subject_reference(element):
-        return compact_value(active_ctx, active_property, element, options)
+        rval = compact_value(active_ctx, active_property, element, options)
+        if options.get("link") is not None and is_subject_reference(element):
+            # store linked element (lib/compact.js:120-126)
+            options["link"].setdefault(element["@id"], []).append(
+                {"expanded": element, "compacted": rval})
+        return rval
 
     if is_list(element):
         container = _ctx_value(active_ctx, active_property, "@container") or []
@@ -442,6 +457,12 @@ def compact(active_ctx, element, options: dict | None = None, *,
 
     inside_reverse = active_property == "@reverse"
     rval: dict = {}
+    if options.get("link") is not None and "@id" in element:
+        # register BEFORE recursing into properties so circular @link
+        # references resolve to this (still-filling) object
+        # (lib/compact.js:172-178)
+        options["link"].setdefault(element["@id"], []).append(
+            {"expanded": element, "compacted": rval})
     input_ctx = active_ctx
 
     # revert non-propagated context for node objects (lib/compact.js:153-156)

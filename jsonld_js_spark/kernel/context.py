@@ -16,6 +16,7 @@ import copy
 
 from .constants import KEYWORDS, is_keyword, looks_like_keyword
 from .errors import JsonLdError, syntax_error
+from .events import emit
 from .iri import is_absolute_iri, prepend_base
 
 
@@ -343,7 +344,11 @@ def create_term_definition(active_ctx: dict, local_ctx: dict, term: str, defined
     elif is_keyword(term):
         raise syntax_error(f"Keywords cannot be overridden: {term}", "keyword redefinition")
     elif looks_like_keyword(term):
-        # reserved shape: term is ignored with a warning (1.1)
+        # reserved shape: term is ignored with a warning
+        # (lib/context.js:512-530)
+        emit(options or {}, "reserved term",
+             'Terms beginning with "@" are reserved for future use '
+             'and dropped.')
         defined[term] = True
         return
     if term == "":
@@ -376,7 +381,14 @@ def create_term_definition(active_ctx: dict, local_ctx: dict, term: str, defined
         if not isinstance(rev, str):
             raise syntax_error("@reverse value must be a string.", "invalid IRI mapping")
         if looks_like_keyword(rev):
-            del active_ctx["mappings"][term]
+            # lib/context.js:605-631: warn, RESTORE any previous mapping
+            emit(options or {}, "reserved @reverse value",
+                 '@reverse values beginning with "@" are reserved for '
+                 'future use and dropped.')
+            if previous is not None:
+                active_ctx["mappings"][term] = previous
+            else:
+                del active_ctx["mappings"][term]
             defined[term] = True
             return
         iri = expand_iri(active_ctx, rev, vocab=True, local_ctx=local_ctx, defined=defined, options=options)
@@ -398,7 +410,14 @@ def create_term_definition(active_ctx: dict, local_ctx: dict, term: str, defined
             raise syntax_error("@id value must be a string.", "invalid IRI mapping")
         elif vid != term:
             if not is_keyword(vid) and looks_like_keyword(vid):
-                del active_ctx["mappings"][term]
+                # lib/context.js:657-681: warn, RESTORE previous mapping
+                emit(options or {}, "reserved @id value",
+                     '@id values beginning with "@" are reserved for '
+                     'future use and dropped.')
+                if previous is not None:
+                    active_ctx["mappings"][term] = previous
+                else:
+                    del active_ctx["mappings"][term]
                 defined[term] = True
                 return
             iri = expand_iri(active_ctx, vid, vocab=True, local_ctx=local_ctx, defined=defined, options=options)

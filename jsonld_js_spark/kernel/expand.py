@@ -199,13 +199,18 @@ def expand(active_ctx: dict, element, options: dict, *,
     # drop free-floating unsafe objects; event codes match the
     # reference's _dropUnsafeObject vocabulary (lib/expand.js:396-437).
     # The guard mirrors lib/expand.js:374-382: also applies under an
-    # active property whose container includes @graph, never in lists.
-    if isinstance(rval, dict) and not inside_list:
+    # active property whose container includes @graph, never in lists,
+    # and never when keepFreeFloatingNodes is set (the public option;
+    # frame expansion passes it, lib/jsonld.js:471)
+    if (isinstance(rval, dict) and not inside_list
+            and not options.get("keepFreeFloatingNodes")):
         count = len(rval)
         if (active_property is None or active_property == "@graph"
                 or "@graph" in ((prop_mapping or {}).get("@container") or [])):
             if count == 0 or "@value" in rval or "@list" in rval:
-                if count:
+                if count == 0:
+                    _warn(options, "empty object", "Dropping empty object.")
+                else:
                     if "@list" in rval:
                         # the reference reports inner droppable value
                         # objects before the list itself
@@ -219,7 +224,9 @@ def expand(active_ctx: dict, element, options: dict, *,
                         _warn(options, "object with only @value",
                               "Dropping object with only @value.")
                 return None
-            if count == 1 and "@id" in rval and not options.get("frameExpansion"):
+            # _dropUnsafeObject has no frame-mode exception: frames keep
+            # @id-only objects via keepFreeFloatingNodes, not isFrame
+            if count == 1 and "@id" in rval:
                 _warn(options, "object with only @id",
                       "Dropping object with only @id.")
                 return None

@@ -486,13 +486,19 @@ def frame(expanded_input, expanded_frame, options: dict | None = None) -> list:
     else:
         options["bnodesToClear"] = []
 
+    options["link"] = {}  # lib/frame.js:63 — reset before the cleanup pass
     return _cleanup_preserve(framed, options)
 
 
 def _cleanup_preserve(element, options):
-    """lib/frame.js:694-746 (expanded-form pass)."""
+    """lib/frame.js:694-746 (expanded-form pass). Mutates IN PLACE and
+    tracks visited nodes per @id in options['link'] so @embed:@link
+    output — where node objects are shared and may be CYCLIC — keeps
+    identity and terminates (the reference's indexOf identity check)."""
     if isinstance(element, list):
-        return [_cleanup_preserve(x, options) for x in element]
+        for i in range(len(element)):
+            element[i] = _cleanup_preserve(element[i], options)
+        return element
     if isinstance(element, dict):
         if "@preserve" in element:
             pv = element["@preserve"]
@@ -500,29 +506,53 @@ def _cleanup_preserve(element, options):
         if is_value(element):
             return element
         if is_list(element):
-            return {**element,
-                    "@list": _cleanup_preserve(element["@list"], options)}
-        out = {}
-        for k, v in element.items():
-            if k == "@id" and isinstance(v, str) and \
-                    v in options.get("bnodesToClear", []):
+            element["@list"] = _cleanup_preserve(element["@list"], options)
+            return element
+        if "@id" in element:
+            eid = element["@id"]
+            bucket = options.setdefault("link", {}).setdefault(eid, [])
+            if any(x is element for x in bucket):
+                return element  # already visited (circular @link)
+            bucket.append(element)
+        for k in list(element.keys()):
+            if k == "@id" and isinstance(element[k], str) and \
+                    element[k] in options.get("bnodesToClear", []):
+                del element[k]
                 continue
-            out[k] = _cleanup_preserve(v, options)
-        return out
+            element[k] = _cleanup_preserve(element[k], options)
+        return element
     return element
 
 
-def cleanup_preserve(element, options: dict | None = None):
+def cleanup_preserve(element, options: dict | None = None, _memo=None):
     """Post-compaction @preserve unwrap (the compacted form may carry
-    '@preserve' keys from compact())."""
+    '@preserve' keys from compact()). Mutates in place with an
+    identity memo so @embed:@link compacted output (shared / cyclic
+    node objects) keeps identity and terminates."""
+    if _memo is None:
+        _memo = {}
     if isinstance(element, list):
-        return [cleanup_preserve(x, options) for x in element]
+        key = id(element)
+        if key in _memo:
+            return _memo[key]
+        _memo[key] = element
+        for i in range(len(element)):
+            element[i] = cleanup_preserve(element[i], options, _memo)
+        return element
     if isinstance(element, dict):
+        key = id(element)
+        if key in _memo:
+            return _memo[key]
         if "@preserve" in element:
             inner = element["@preserve"]
             inner = inner[0] if isinstance(inner, list) and len(inner) == 1 else inner
-            return cleanup_preserve(inner, options)
-        return {k: cleanup_preserve(v, options) for k, v in element.items()}
+            res = cleanup_preserve(inner, options, _memo)
+            _memo[key] = res
+            return res
+        _memo[key] = element
+        for k in list(element.keys()):
+            element[k] = cleanup_preserve(element[k], options, _memo)
+        return element
     return element
 
 
@@ -550,5 +580,16 @@ def cleanup_null(element, options: dict | None = None):
     if element == "@null":
         return None
     if isinstance(element, dict):
-        return {k: cleanup_null(v, options) for k, v in element.items()}
+        # in-memory linked nodes: visited-per-@id identity check, then
+        # mutate in place (lib/frame.js:344-365) — terminates on cycles
+        if "@id" in element:
+            eid = element["@id"]
+            if isinstance(options, dict):
+                bucket = options.setdefault("link", {}).setdefault(eid, [])
+                if any(x is element for x in bucket):
+                    return element
+                bucket.append(element)
+        for k in list(element.keys()):
+            element[k] = cleanup_null(element[k], options)
+        return element
     return element

@@ -459,6 +459,56 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 """
 
 
+def doc_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup detection on word 3-gram SHINGLES (order-sensitive,
+    unlike the token-set variant above): Jaccard >= 0.5 over distinct
+    shingle sets within (lang, source) blocks. Shingles are built with
+    pure column algebra (sequence + transform over the ordered token
+    array) — no shuffle before the block join."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = (load(spark, sf_dir, "documents")
+         .select("doc_id", "lang", "source", toks.alias("t"))
+         .filter(F.size("t") >= 3))
+    sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("t") - 3),
+        lambda i: F.concat_ws("\x1f", F.element_at(F.col("t"), i + 1),
+                              F.element_at(F.col("t"), i + 2),
+                              F.element_at(F.col("t"), i + 3))))
+    d = d.select("doc_id", "lang", "source", sh.alias("sh"))
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.source") == F.col("b.source"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc1"),
+                    F.col("b.doc_id").alias("doc2"),
+                    F.round(inter / union, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.5))
+
+
+ORACLE_DOC_NGRAM_JACCARD = """
+WITH t0 AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+d AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || chr(31) || t[i + 1] || chr(31) || t[i + 2])) AS sh
+  FROM t0 WHERE len(t) >= 3)
+SELECT doc1, doc2, jaccard FROM (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+               4) AS jaccard
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+WHERE jaccard >= 0.5
+"""
+
+
 _N_MINHASH = 12
 _N_BANDS = 3  # 4 rows per band: selective buckets, fewer false candidates
 
@@ -1421,6 +1471,8 @@ QUERIES = {
     "kg_full_build": (kg_full_build, None),
     "doc_dedup_exact": (doc_dedup_exact, ORACLE_DOC_DEDUP_EXACT),
     "doc_dedup_token_jaccard": (doc_dedup_token_jaccard, ORACLE_DOC_JACCARD),
+    "doc_dedup_ngram_jaccard": (doc_dedup_ngram_jaccard,
+                                ORACLE_DOC_NGRAM_JACCARD),
     "doc_dedup_minhash_lsh": (doc_dedup_minhash_lsh, ORACLE_DOC_MINHASH),
     "doc_dedup_minhash_capped": (doc_dedup_minhash_capped,
                                  ORACLE_DOC_MINHASH_CAPPED),

@@ -1479,3 +1479,210 @@ def test_tordf_direction_validation_is_lazy(oracle, direction):
             assert not ref["ok"], \
                 f"we errored ({e.code or e.name}) but reference ok: {ref}"
             assert ("Unsupported" in str(e)) == ("Unsupported" in ref["message"])
+
+
+FREE_FLOATING_DOCS = [
+    {"@value": "x"},
+    {"@value": 7, "@type": "http://vocab.org/DT"},
+    {"@id": EX + "only-id"},
+    {},
+    {"@list": ["a", "b"]},
+    {"@list": [{"@value": "v"}]},
+    {"@graph": [{"@id": EX + "g1"}]},
+    {"@graph": []},
+    {"@context": {"@vocab": V}, "@graph": [{"@id": EX + "a"}, {}]},
+    [{"@id": EX + "x"}, {"@value": 1}, {}],
+    {"@context": {"@vocab": V,
+                  "gc": {"@id": V + "gc", "@container": "@graph"}},
+     "@id": EX + "top", "gc": {"@id": EX + "inner-only-id"}},
+    {"@context": {"@vocab": V}, "@id": EX + "n",
+     "p": {"@list": [{"@id": EX + "li"}]}},
+    {"@language": "en"},
+    {"@context": {"@vocab": V}, "@id": EX + "n", "p": [{}, {"@id": EX + "t"}]},
+]
+
+
+@pytest.mark.parametrize("keep", [True, False], ids=["keep", "drop"])
+@pytest.mark.parametrize("doc_i", range(len(FREE_FLOATING_DOCS)),
+                         ids=[f"ff{i}" for i in range(len(FREE_FLOATING_DOCS))])
+def test_keep_free_floating_nodes_matches_reference(oracle, keep, doc_i):
+    """expand's public keepFreeFloatingNodes option (lib/jsonld.js:257,
+    :272) gates the whole _dropUnsafeObject block (lib/expand.js:374):
+    with it set, empty objects, @value/@list-only and @id-only objects
+    all survive at top level / under @graph. Result AND warning-event
+    multiset must both match."""
+    from collections import Counter
+
+    doc = FREE_FLOATING_DOCS[doc_i]
+    opts = {"keepFreeFloatingNodes": keep} if keep else {}
+    ref = oracle.call("expand", doc=doc, options=opts, collectEvents=True)
+    kopts = {**opts, "events": []}
+    try:
+        mine = k_expand(doc, kopts)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"keep={keep}:\nmine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+        assert Counter(e["code"] for e in kopts["events"]) == \
+            Counter(e["code"] for e in ref.get("events", []))
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+RESERVED_TERM_DOCS = [
+    # JSON-LD-star's @annotation is NOT a jsonld.js keyword: as a
+    # property it drops with 'invalid property'; as a term name it is
+    # 'reserved term'; as a term's @id/@reverse target it is
+    # 'reserved @id value' / 'reserved @reverse value' AND any
+    # previous mapping for the term is RESTORED, not deleted
+    # (lib/context.js:512-530,605-631,657-681)
+    {"@context": {"@vocab": V}, "@id": EX + "a",
+     "p": {"@id": EX + "b", "@annotation": {"q": "r"}}},
+    {"@context": {"@vocab": V, "ann": "@annotation"},
+     "@id": EX + "a", "p": "x"},
+    {"@context": {"@vocab": V}, "@annotation": {"q": "r"}, "p": "x"},
+    {"@context": {"@vocab": V, "@annotation": {"@id": V + "zz"}}, "p": "x"},
+    {"@context": {"@vocab": V}, "@id": EX + "a",
+     "p": {"@value": "v", "@annotation": {"q": "r"}}},
+    {"@context": {"@vocab": V, "ann": {"@id": "@annotation"}}, "ann": "x"},
+    {"@context": [{"@vocab": V, "ann": {"@id": V + "real"}},
+                  {"ann": "@annotation"}], "ann": "x"},
+    {"@context": {"@vocab": V, "rv": {"@reverse": "@annotation"}},
+     "rv": {"@id": EX + "o"}},
+    {"@context": [{"@vocab": V, "rv": {"@id": V + "keep"}},
+                  {"rv": {"@reverse": "@futurekw"}}], "rv": "x"},
+    {"@context": {"@vocab": V, "@oops": V + "x"}, "@oops": "y"},
+    {"@context": {"@vocab": V, "t": {"@id": "@ignoreMe", "@protected": True}},
+     "t": "x"},
+    {"@context": [{"@vocab": V, "ann": V + "real"},
+                  {"ann": {"@reverse": "@annotation"}}],
+     "ann": {"@id": EX + "o"}},
+]
+
+
+@pytest.mark.parametrize("doc_i", range(len(RESERVED_TERM_DOCS)),
+                         ids=[f"rsv{i}" for i in range(len(RESERVED_TERM_DOCS))])
+def test_reserved_keyword_shapes_match_reference(oracle, doc_i):
+    from collections import Counter
+
+    doc = RESERVED_TERM_DOCS[doc_i]
+    ref = oracle.call("expand", doc=doc, collectEvents=True)
+    kopts = {"events": []}
+    try:
+        mine = k_expand(doc, kopts)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+        assert Counter(e["code"] for e in kopts["events"]) == \
+            Counter(e["code"] for e in ref.get("events", []))
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+OPTION_EXPAND_CASES = [
+    # (doc, options) — expandContext and explicit base override
+    ({"p": "x", "@id": "rel"}, {"expandContext": {"@vocab": V}, "base": EX}),
+    ({"p": "x"}, {"expandContext": {"@context": {"@vocab": V}}}),
+    ({"@context": {"p": V + "override"}, "p": "x", "q": "y"},
+     {"expandContext": {"@vocab": "http://other/"}}),
+    ({"@context": {"@vocab": V}, "@id": "frag", "p": "x"},
+     {"base": EX + "dir/doc"}),
+    ({"@context": {"@base": "http://inner/"}, "@id": "frag",
+      "p": {"@id": "other"}},
+     {"base": EX, "expandContext": {"@vocab": V}}),
+    ({"@context": {"@vocab": V}, "@id": "../up", "p": "x"},
+     {"base": EX + "a/b/c"}),
+]
+
+
+@pytest.mark.parametrize("case_i", range(len(OPTION_EXPAND_CASES)),
+                         ids=[f"oc{i}" for i in range(len(OPTION_EXPAND_CASES))])
+def test_expand_context_and_base_options_match_reference(oracle, case_i):
+    """expandContext (applied before document contexts) and explicit
+    base override (lib/jsonld.js:253-255, lib/expand.js:64-71)."""
+    from jsonld_js_spark.kernel import api
+
+    doc, opts = OPTION_EXPAND_CASES[case_i]
+    ref = oracle.call("expand", doc=doc, options=opts)
+    assert ref["ok"], ref
+    mine = api.expand(doc, dict(opts))
+    assert deep_eq(mine, ref["result"]), (
+        f"mine={json.dumps(mine, sort_keys=True)}\n"
+        f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+
+
+LINK_ACYCLIC_DOCS = [
+    {"@context": {"@vocab": V}, "@graph": [
+        {"@id": EX + "r", "l": {"@id": EX + "s"}, "rr": {"@id": EX + "s"}},
+        {"@id": EX + "s", "name": "shared"}]},
+    {"@context": {"@vocab": V}, "@id": EX + "a",
+     "knows": {"@id": EX + "b", "name": "bee"}},
+    {"@context": {"@vocab": V}, "@graph": [
+        {"@id": EX + "x", "next": {"@id": EX + "y"}},
+        {"@id": EX + "y", "next": {"@id": EX + "z"}},
+        {"@id": EX + "z", "name": "end"}]},
+]
+
+
+@pytest.mark.parametrize("doc_i", range(len(LINK_ACYCLIC_DOCS)),
+                         ids=[f"ln{i}" for i in range(len(LINK_ACYCLIC_DOCS))])
+def test_link_matches_reference(oracle, doc_i):
+    """jsonld.link (wildcard frame with @embed:@link,
+    lib/jsonld.js:513-523) on acyclic graphs — byte parity."""
+    from jsonld_js_spark.kernel import api
+
+    doc = LINK_ACYCLIC_DOCS[doc_i]
+    ref = oracle.call("link", doc=doc, ctx={"@vocab": V})
+    assert ref["ok"], ref
+    mine = api.link(doc, {"@vocab": V}, {})
+    assert deep_eq(mine, ref["result"]), (
+        f"mine={json.dumps(mine, sort_keys=True)}\n"
+        f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+
+
+def test_link_cyclic_graph_builds_identity_cycle(oracle):
+    """On a CYCLIC graph the reference links successfully in memory
+    (the only failure is JSON-serializing the circular result — the
+    runner reports exactly that TypeError). Our link must likewise
+    terminate, produce a true identity cycle, and fail json.dumps."""
+    from jsonld_js_spark.kernel import api
+
+    doc = {"@context": {"@vocab": V}, "@graph": [
+        {"@id": EX + "a", "knows": {"@id": EX + "b"}},
+        {"@id": EX + "b", "knows": {"@id": EX + "a"}}]}
+    ref = oracle.call("link", doc=doc, ctx={"@vocab": V})
+    assert not ref["ok"] and "circular" in ref["message"].lower()
+
+    res = api.link(doc, {"@vocab": V}, {})
+    nodes = {n["@id"]: n for n in res["@graph"]}
+    assert nodes[EX + "a"]["knows"] is nodes[EX + "b"]
+    assert nodes[EX + "b"]["knows"] is nodes[EX + "a"]
+    with pytest.raises(ValueError):
+        json.dumps(res)
+
+
+@pytest.mark.parametrize("opts", [
+    {"base": EX + "dir/"},
+    {"base": EX + "dir/", "compactToRelative": False},
+    {"compactToRelative": False},
+    {"compactToRelative": True, "base": EX + "dir/"},
+], ids=["rel-default", "abs", "abs-nobase", "rel-explicit"])
+@pytest.mark.parametrize("ctx", [
+    {"@vocab": V},
+    {"@base": EX + "dir/", "@vocab": V},
+], ids=["plain", "ctx-base"])
+def test_compact_to_relative_matches_reference(oracle, opts, ctx):
+    """compactToRelative=false drops the API base before compaction so
+    IRIs stay absolute; an explicit @base inside the context still
+    relativizes (lib/jsonld.js:151,164-166)."""
+    from jsonld_js_spark.kernel import api
+
+    doc = {"@id": EX + "dir/x", V + "p": [{"@id": EX + "dir/y"},
+                                          {"@id": EX + "other/z"}]}
+    ref = oracle.call("compact", doc=doc, ctx=ctx, options=opts)
+    assert ref["ok"], ref
+    mine = api.compact(doc, ctx, dict(opts))
+    assert deep_eq(mine, ref["result"]), (
+        f"mine={json.dumps(mine, sort_keys=True)}\n"
+        f"ref ={json.dumps(ref['result'], sort_keys=True)}")
