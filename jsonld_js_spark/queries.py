@@ -464,7 +464,13 @@ def doc_dedup_ngram_jaccard(spark, sf_dir):
     unlike the token-set variant above): Jaccard >= 0.5 over distinct
     shingle sets within (lang, source) blocks. Shingles are built with
     pure column algebra (sequence + transform over the ordered token
-    array) — no shuffle before the block join."""
+    array) — no shuffle before the block join.
+
+    Like doc_dedup_token_jaccard this is the ORACLE-MATCHED DEMO of
+    the similarity measure: blocked all-pairs is O(n^2) per block. At
+    corpus scale run the same shingle arrays through
+    operators/dedup.minhash_lsh_pairs (shingle -> minhash -> band ->
+    bucket join), which bounds the pair space by bucket collisions."""
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     d = (load(spark, sf_dir, "documents")
          .select("doc_id", "lang", "source", toks.alias("t"))
