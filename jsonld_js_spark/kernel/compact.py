@@ -153,6 +153,20 @@ def compact_iri(active_ctx, iri, *, value=None, vocab: bool = False,
             return alias
         return iri
 
+    if isinstance(iri, list):
+        # array @type on a value object (type-index-map expansion
+        # artifact): the reference's JS membership test coerces the
+        # array to its ","-joined string, so a coerced inverse-context
+        # match runs term selection, while every later branch (vocab
+        # prefix / CURIE / base) does genuine string ops that silently
+        # no-op on arrays — a non-matching array passes through
+        # UNCHANGED (verified against the reference's compactIri)
+        if vocab and all(isinstance(x, str) for x in iri) \
+                and ",".join(iri) in inverse:
+            return compact_iri(active_ctx, ",".join(iri), value=value,
+                               vocab=vocab, reverse=reverse, base=base)
+        return iri
+
     if vocab and iri in inverse:
         default_language = (active_ctx.get("@language") or "@none").lower()
         containers: list[str] = []

@@ -96,61 +96,73 @@ def _resolve_context_url(url: str, options: dict) -> object:
     )
 
 
-_PROCESSED_CACHE: dict = {}
-_PROCESSED_CACHE_MAX = 512
+_LAYER_CACHE: dict = {}
+_LAYER_CACHE_MAX = 2048
+_FP_COUNTER = [0]
 
 
-def _ctx_cache_key(active_ctx, local_ctx, options, override_protected, propagate):
-    """Memo key for processed contexts. Mirrors the reference's
-    resolved-context LRU + per-op cache (lib/ContextResolver.js:26-29,
-    lib/ResolvedContext.js:8-30): the same (active, local) pair is
-    processed once per worker, then shared. Processed contexts are
-    treated as immutable by expansion, so sharing is safe."""
+def _fresh_fp() -> str:
+    """A fingerprint that never repeats — marks active contexts the
+    reference would hold as brand-new INSTANCES (post-null resets,
+    non-cacheable layers), so downstream layer lookups always miss,
+    exactly like the reference's instance-keyed processed cache."""
+    _FP_COUNTER[0] += 1
+    return f"!{_FP_COUNTER[0]}"
+
+
+def _layer_cache_key(rval, ctx, options, override_protected, propagate,
+                     validate_scoped):
+    """Per-LAYER memo key, mirroring ResolvedContext.getProcessed
+    (lib/ResolvedContext.js:23-28): one resolved context document
+    (keyed by content, lib/ContextResolver.js:70-76) caches its
+    processed result per parent active context. The parent 'instance'
+    is proxied by the _fp chain; parents that the reference would
+    never share (fresh clones) carry a never-repeating _fp."""
     import json
 
-    fp = active_ctx.get("_fp", "init")
     if callable(options.get("document_loader")):
         # custom loader: responses aren't part of the key — don't cache
         return None
     try:
-        local_key = json.dumps(local_ctx, sort_keys=True, default=None)
+        local_key = json.dumps(ctx, sort_keys=True, default=None)
     except (TypeError, ValueError):
         return None
+    fp = rval.get("_fp")
+    if fp is None:
+        # root contexts: value identity (the reference caches initial
+        # contexts per options, so equal-valued roots ARE one instance)
+        fp = ("init", rval.get("@base"), rval.get("original_base"),
+              rval.get("processingMode"))
     loader = options.get("context_loader") or {}
-    return (fp, active_ctx.get("@base"), active_ctx.get("processingMode"),
-            local_key, tuple(sorted(loader.keys())),
-            override_protected, propagate)
+    return (fp, local_key, tuple(sorted(loader.keys())),
+            options.get("processingMode"),
+            override_protected, propagate, validate_scoped)
 
 
 def process_context(active_ctx: dict, local_ctx, options: dict | None = None, *,
                     override_protected: bool = False, propagate: bool = True,
                     validate_scoped: bool = True, _remote_cycle: frozenset = frozenset(),
                     _remote_seen: set | None = None) -> dict:
-    """Fold ``local_ctx`` into ``active_ctx``; returns a NEW context."""
+    """Fold ``local_ctx`` into ``active_ctx``; returns a NEW context.
+
+    Caching happens PER LAYER inside the impl (mirroring the
+    reference's ResolvedContext processed-cache), including the
+    reference's observable event-replay quirk: each cold call stores
+    ONE shared captured-events list into every layer entry it fills,
+    so a later warm walk replays the whole call's events once per
+    cached layer (lib/context.js:69-83,135-145,445-448 — the shared
+    `events` array accumulates across the layer loop and each
+    setProcessed stores a reference to it)."""
     options = options or {}
     if _remote_seen is None:
         # per-resolve-op distinct remote URL counter — the reference's
         # shared `cycles` set (lib/ContextResolver.js:33,131-139)
         _remote_seen = set()
-    cache_key = None
-    if not _remote_cycle and options.get("cache_contexts", True):
-        cache_key = _ctx_cache_key(active_ctx, local_ctx, options, override_protected, propagate)
-        if cache_key is not None:
-            hit = _PROCESSED_CACHE.get(cache_key)
-            if hit is not None:
-                return hit
-    rval = _process_context_impl(
+    return _process_context_impl(
         active_ctx, local_ctx, options,
         override_protected=override_protected, propagate=propagate,
         validate_scoped=validate_scoped, _remote_cycle=_remote_cycle,
         _remote_seen=_remote_seen)
-    if cache_key is not None and rval is not active_ctx:
-        import hashlib
-
-        rval["_fp"] = hashlib.sha256(repr(cache_key).encode()).hexdigest()[:16]
-        if len(_PROCESSED_CACHE) < _PROCESSED_CACHE_MAX:
-            _PROCESSED_CACHE[cache_key] = rval
-    return rval
 
 
 def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = None, *,
@@ -168,6 +180,11 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
     ctxs = local_ctx if isinstance(local_ctx, list) else [local_ctx]
 
     rval = active_ctx
+    # ONE shared captured-events list per call: every cold layer's cache
+    # entry references this same list, so it accumulates across the
+    # layer loop — the reference's observable behavior (its `events`
+    # array at lib/context.js:70 is closed over by every setProcessed)
+    captured: list = []
     for ctx in ctxs:
         if ctx is None:
             # null → reset to initial (keep original base); non-propagating
@@ -184,6 +201,9 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
             # previousContext even under propagate:false (the spec
             # would keep it) — lib/context.js:119-130 replaces the
             # cloned rval wholesale. Verified differentially.
+            # the reference CLONES the initial context here — a brand-new
+            # instance, so layers after a null reset never cache-hit
+            rval["_fp"] = _fresh_fp()
             continue
 
         if isinstance(ctx, str):
@@ -214,6 +234,31 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
 
         if not isinstance(ctx, dict):
             raise syntax_error("@context must be an object.", "invalid local context")
+
+        # per-layer processed cache (ResolvedContext.getProcessed):
+        # a hit replays the ORIGINAL call's whole captured-events list
+        # (which may include events of layers processed after this one
+        # in that call — the reference's doubling quirk), then reuses
+        # the processed context
+        layer_key = None
+        n_ev_layer = len(options.get("events") or [])
+        if not _remote_cycle and options.get("cache_contexts", True):
+            layer_key = _layer_cache_key(rval, ctx, options,
+                                         override_protected, propagate,
+                                         validate_scoped)
+            if layer_key is not None:
+                hit = _LAYER_CACHE.get(layer_key)
+                if hit is not None:
+                    for ev in hit["events"]:
+                        emit(options, ev["code"], ev["message"],
+                             ev.get("level", "warning"),
+                             **(ev.get("details") or {}))
+                    rval = hit["context"]
+                    # a hit skips the body that reads this layer's
+                    # @propagate — keep the flag in sync for later layers
+                    if isinstance(ctx.get("@propagate"), bool):
+                        propagate = ctx["@propagate"]
+                    continue
 
         rval = _clone_ctx(rval)
 
@@ -316,6 +361,19 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                 rval, ctx, key, defined, options,
                 override_protected=override_protected,
                 validate_scoped=validate_scoped)
+
+        if layer_key is not None:
+            import hashlib
+
+            rval["_fp"] = hashlib.sha256(
+                repr(layer_key).encode()).hexdigest()[:16]
+            captured.extend(
+                dict(ev) for ev in (options.get("events") or [])[n_ev_layer:])
+            if len(_LAYER_CACHE) < _LAYER_CACHE_MAX:
+                _LAYER_CACHE[layer_key] = {"context": rval,
+                                           "events": captured}
+        else:
+            rval["_fp"] = _fresh_fp()
     return rval
 
 

@@ -167,19 +167,33 @@ def expand(active_ctx: dict, element, options: dict, *,
     # --- post-processing (spec §5.1 steps 14+)
     if "@value" in rval:
         keys = set(rval)
+        if "@type" in keys and ("@language" in keys or "@direction" in keys):
+            raise syntax_error(
+                '"@value" may not contain both "@type" and "@language"/'
+                '"@direction".', "invalid value object")
         bad = keys - {"@value", "@type", "@language", "@direction", "@index"}
-        if bad or ("@language" in keys and "@type" in keys):
+        if bad:
             raise syntax_error("@value object has disallowed members.", "invalid value object")
-        if rval.get("@type") == "@json":
+        # per-ELEMENT validation over as-array views (lib/expand.js:295-333):
+        # @value/@type may legitimately be arrays here (frames, @type
+        # index maps, array inputs that survived addValue)
+        vv = rval["@value"]
+        values = [] if vv is None else (vv if isinstance(vv, list) else [vv])
+        tt = rval.get("@type", [])
+        types = tt if isinstance(tt, list) else [tt]
+        is_empty_obj = lambda x: isinstance(x, dict) and not x
+        if types == ["@json"] and \
+                active_ctx.get("processingMode") != "json-ld-1.0":
             pass  # any JSON value allowed
-        elif rval["@value"] is None:
+        elif len(values) == 0:
             _warn(options, "null @value value", "Dropping null @value object.")
             return None
-        elif not isinstance(rval["@value"], str) and "@language" in keys \
-                and not (options.get("frameExpansion")
-                         and isinstance(rval["@value"], (dict, list))):
+        elif "@language" in keys and not all(
+                isinstance(v, str) or is_empty_obj(v) for v in values):
             raise syntax_error("@language used on non-string @value.", "invalid language-tagged value")
-        elif "@type" in keys and (not is_absolute_iri(rval["@type"]) or rval["@type"].startswith("_:")):
+        elif not all((isinstance(t, str) and is_absolute_iri(t)
+                      and not t.startswith("_:")) or is_empty_obj(t)
+                     for t in types):
             raise syntax_error("@type of a value object must be an IRI.", "invalid typed value")
     elif "@type" in rval and not isinstance(rval["@type"], list):
         rval["@type"] = [rval["@type"]]
@@ -261,6 +275,8 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
                    inside_list, type_key, type_scoped_ctx, nests):
     """Expand each key/value member of ``element`` into ``rval``."""
     input_type = None
+    unexpanded_value = None
+    has_value_key = False
     if type_key is not None:
         tv = element[type_key]
         tv0 = tv[-1] if isinstance(tv, list) and tv else tv
@@ -319,12 +335,18 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
                 _add_value(rval, "@included", es)
                 continue
             if expanded_property == "@value":
+                # addValue semantics (lib/expand.js:950-961): an ARRAY
+                # adds element-wise, so `"@value": []` adds NOTHING and
+                # the object silently stops being a value object; the
+                # object/array error fires AFTER the key loop and only
+                # if the key actually landed (lib/expand.js:1002-1014)
+                unexpanded_value = value
+                has_value_key = True
                 if input_type == "@json":
                     rval["@value"] = value
-                elif not (is_scalar(value) or value is None) and not options.get("frameExpansion"):
-                    raise syntax_error("@value must be a scalar or null.", "invalid value object value")
                 else:
-                    rval["@value"] = value
+                    _add_value(rval, "@value", value,
+                               as_array=bool(options.get("frameExpansion")))
                 continue
             if expanded_property == "@language":
                 if value is None:
@@ -462,6 +484,18 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
         else:
             _add_value(rval, expanded_property, expanded_value)
 
+    # deferred @value shape check (lib/expand.js:1002-1014): only when
+    # the @value key actually landed, and bypassed for 1.1 @type:@json
+    if has_value_key and "@value" in rval:
+        if rval.get("@type") == "@json" and \
+                active_ctx.get("processingMode") != "json-ld-1.0":
+            pass
+        elif isinstance(unexpanded_value, (dict, list)) and \
+                not options.get("frameExpansion"):
+            raise syntax_error(
+                '"@value" value must not be an object or an array.',
+                "invalid value object value")
+
     # @nest handling: recurse into nested maps (lib/expand.js:1016-1039)
     for nest_key in nests:
         nv = element[nest_key]
@@ -492,11 +526,24 @@ def _expand_type(active_ctx, type_scoped_ctx, value, rval, options):
         else:
             raise syntax_error("@type value must be a string or array of strings.",
                                "invalid type value")
+    # _addValue(parent, '@type', arr, {propertyIsArray: isFrame})
+    # (lib/expand.js:632-681): element-wise add, so [] adds NOTHING
+    # (key stays absent), one value stores BARE, several store a list;
+    # frames always store a list. Node objects re-wrap to a list later;
+    # VALUE objects keep this shape — the source of the reference's
+    # array-@type-on-@value quirks.
     existing = rval.get("@type")
-    if existing is not None:
-        ex = existing if isinstance(existing, list) else [existing]
-        out = ex + out
-    rval["@type"] = out if (isinstance(value, list) or len(out) != 1 or existing is not None) else out[0]
+    ex = [] if existing is None else (
+        existing if isinstance(existing, list) else [existing])
+    combined = ex + out
+    if options.get("frameExpansion"):
+        rval["@type"] = combined
+    elif not combined:
+        rval.pop("@type", None)
+    elif len(combined) == 1:
+        rval["@type"] = combined[0]
+    else:
+        rval["@type"] = combined
 
 
 def _expand_language_map(active_ctx, key, value, options):

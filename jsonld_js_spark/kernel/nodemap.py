@@ -124,14 +124,16 @@ def _create_node_map(element, graphs, graph, issuer, name, lst):
             lst.append(element)
         return
 
-    if is_list(element):
+    # the list branch applies ONLY when collecting into a parent list
+    # (lib/nodeMap.js:74-80: `list && isList(input)`); a TOP-LEVEL list
+    # object falls through to the subject path below
+    if is_list(element) and lst is not None:
         result: list = []
         _create_node_map(element["@list"], graphs, graph, issuer, name, result)
         out = {"@list": result}
         if "@index" in element:
             out["@index"] = element["@index"]
-        if lst is not None:
-            lst.append(out)
+        lst.append(out)
         return
 
     # node object
@@ -146,13 +148,24 @@ def _create_node_map(element, graphs, graph, issuer, name, lst):
         eid = element.get("@id")
         if eid is not None and not isinstance(eid, str):
             raise syntax_error("@id must be a string.", "invalid @id value")
-        if eid is None or eid.startswith("_:"):
+        if "@id" not in element and is_list(element):
+            # an @id-less @list object is NOT a blank node
+            # (lib/graphTypes.js isBlankNode rule 3), so the reference
+            # takes name = input['@id'] = undefined: the node lands
+            # under the literal JS key "undefined" WITHOUT a usable
+            # @id (undefined drops on serialize) — mirrored here as
+            # the "undefined" key and an omitted @id
+            name = None
+        elif eid is None or eid.startswith("_:"):
             name = issuer.get_id(eid)
         else:
             name = eid
 
     subjects = graphs.setdefault(graph, {})
-    subject = subjects.setdefault(name, {"@id": name})
+    if name is None:
+        subject = subjects.setdefault("undefined", {})
+    else:
+        subject = subjects.setdefault(name, {"@id": name})
 
     if lst is not None:
         lst.append({"@id": name})
@@ -192,7 +205,11 @@ def _create_node_map(element, graphs, graph, issuer, name, lst):
             continue
         if prop.startswith("@") and prop not in ("@type",) and prop in (
                 "@value", "@list", "@set"):
-            continue  # unreachable for well-formed node objects
+            # copy non-@type keywords VERBATIM (lib/nodeMap.js:153-165);
+            # reachable through the top-level-@list subject-path quirk,
+            # whose '@list' items are copied WITHOUT relabeling
+            subject[prop] = element[prop]
+            continue
 
         objects = element[prop]
         # rename bnode property (generalized RDF only; keep label issued)

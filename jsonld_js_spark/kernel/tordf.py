@@ -218,6 +218,13 @@ def _object_to_rdf(dataset, item, issuer, graph_term, options) -> dict | None:
                       "rdfDirection not set for @direction.")
             obj["value"] = value
             obj["datatype"]["value"] = datatype or C.XSD_STRING
+        if isinstance(obj["datatype"]["value"], list):
+            # array @type on a value object (a type-index-map artifact
+            # the reference's expansion legitimately produces): the
+            # reference serializes it through JS Array->String coercion,
+            # i.e. comma-joined — `"v"^^<a,b>` (lib/toRdf.js:291 keeps
+            # the array; the template literal coerces). Replicated.
+            obj["datatype"]["value"] = ",".join(obj["datatype"]["value"])
         return obj
 
     if is_list(item):

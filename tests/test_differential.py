@@ -1686,3 +1686,105 @@ def test_compact_to_relative_matches_reference(oracle, opts, ctx):
     assert deep_eq(mine, ref["result"]), (
         f"mine={json.dumps(mine, sort_keys=True)}\n"
         f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+
+
+def _rand_doc8(rng: random.Random):
+    """Eighth grammar: joint compositions of axes fuzzed separately so
+    far — reserved keyword-shaped strings in every term-definition slot,
+    droppable free-floating objects inside @graph arrays (now that the
+    'empty object' event fires), property-based @index containers,
+    @none keys across index/language/type/graph maps, and the
+    keepFreeFloatingNodes option — with warning-EVENT multiset parity
+    checked on expansion, not just result parity."""
+    ctx: dict = {"@vocab": V}
+    doc: dict = {}
+    opts: dict = {}
+    if rng.random() < 0.3:
+        opts["keepFreeFloatingNodes"] = True
+    # reserved keyword-shaped strings in term-definition slots
+    r = rng.random()
+    if r < 0.25:
+        ctx["resv"] = rng.choice(["@annotation", "@futureKw"])
+    elif r < 0.4:
+        ctx["resv"] = {"@id": rng.choice(["@annotation", "@none2"])}
+    elif r < 0.5:
+        ctx["@shape"] = rng.choice([V + "s", {"@id": V + "s"}])
+    elif r < 0.6:
+        ctx["resv"] = {"@reverse": "@futureKw"}
+    if rng.random() < 0.3:
+        # redefinition across context layers: reserved drop must RESTORE
+        ctx = [dict(ctx, resv=V + "orig"), {"resv": "@annotation"}]
+    # containers with @none / property-based index
+    base_ctx = ctx[0] if isinstance(ctx, list) else ctx
+    c = rng.random()
+    if c < 0.3:
+        base_ctx["m"] = {"@id": V + "m", "@container": "@index",
+                         "@index": V + "idxprop"}
+        doc["m"] = {f"k{i}": rng.choice([{"name": f"n{i}"}, f"s{i}"])
+                    for i in range(rng.randrange(1, 3))}
+    elif c < 0.55:
+        base_ctx["m"] = {"@id": V + "m",
+                         "@container": rng.choice(
+                             [["@graph", "@id"], ["@graph", "@index"],
+                              "@language", "@type", "@index"])}
+        key = rng.choice(["@none", "k0", "en-GB", EX + "g"])
+        doc["m"] = {key: rng.choice([{"name": "a"}, "plain",
+                                     {"@value": "v"}, {}])}
+    # droppables inside @graph
+    if rng.random() < 0.5:
+        items = [{"@id": EX + "n", "name": "kept"}]
+        items.append(rng.choice([{}, {"@value": "fl"}, {"@id": EX + "only"},
+                                 {"@list": ["a"]}]))
+        rng.shuffle(items)
+        doc["@graph"] = items
+    if rng.random() < 0.6:
+        doc["@id"] = EX + f"top{rng.randrange(2)}"
+        doc["name"] = "t"
+    if rng.random() < 0.4 and "resv" in (base_ctx or {}):
+        doc["resv"] = rng.choice(["x", {"@id": EX + "rv"}])
+    if rng.random() < 0.25:
+        doc[rng.choice(["@annotation", "@futureKw"])] = "dropped?"
+    doc["@context"] = ctx
+    return doc, opts
+
+
+GRAMMAR8 = [_rand_doc8(random.Random(80_000 + s)) for s in range(60)]
+
+
+@pytest.mark.parametrize("case_i", range(len(GRAMMAR8)),
+                         ids=[f"g8_{i}" for i in range(len(GRAMMAR8))])
+@pytest.mark.parametrize("op", ["expand", "toRDF", "flatten", "compact"])
+def test_grammar8_matches_reference(oracle, op, case_i):
+    from collections import Counter
+
+    from jsonld_js_spark.kernel import compact as k_compact
+    from jsonld_js_spark.kernel import flatten as k_flat
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    doc, opts = GRAMMAR8[case_i]
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc,
+                          ctx={"@context": doc["@context"]}, options=opts)
+    else:
+        ref = oracle.call(op, doc=doc, options=opts, collectEvents=True)
+    kopts = {**opts, "events": []}
+    try:
+        if op == "expand":
+            mine = k_expand(doc, kopts)
+        elif op == "toRDF":
+            mine = k_trd(doc, {**kopts, "format": "application/n-quads"})
+        elif op == "flatten":
+            mine = k_flat(doc, None, kopts)
+        else:
+            mine = k_compact(doc, doc["@context"], kopts)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True, default=str)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+        if op == "expand":
+            assert Counter(e["code"] for e in kopts["events"]) == \
+                Counter(e["code"] for e in ref.get("events", [])), (
+                f"events mine={Counter(e['code'] for e in kopts['events'])} "
+                f"ref={Counter(e['code'] for e in ref.get('events', []))}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
