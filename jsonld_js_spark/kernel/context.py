@@ -40,6 +40,16 @@ def _clone_ctx(ctx: dict) -> dict:
     out = dict(ctx)
     out["mappings"] = dict(ctx["mappings"])
     out["_protected"] = set(ctx.get("_protected", ()))
+    # memo fields must NOT survive the clone: a stale inherited
+    # inverse context makes compaction miss terms added by scoped
+    # contexts (found by direct probing — compact_iri(type)
+    # materializes _inverse on the parent right before the type-scoped
+    # context clones it), and a clone is a NEW instance in the
+    # reference's processed-cache identity model (its content also
+    # diverges: @direction nulling below), so it gets a fresh
+    # never-repeating fingerprint
+    out.pop("_inverse", None)
+    out["_fp"] = _fresh_fp()
     # Reference quirk replicated: _cloneActiveContext copies @base,
     # @language and @vocab but NOT @direction (lib/context.js:1222-1243)
     # — the default base direction is silently dropped whenever any

@@ -1788,3 +1788,91 @@ def test_grammar8_matches_reference(oracle, op, case_i):
                 f"ref={Counter(e['code'] for e in ref.get('events', []))}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+FRAME_OPTION_CASES = [
+    # framing flags passed as API OPTIONS (not in-frame keywords):
+    # lib/jsonld.js:430-444 threads embed/explicit/requireAll/
+    # omitDefault/omitGraph/pruneBlankNodeIdentifiers
+    {"embed": "@never"}, {"embed": "@always"}, {"explicit": True},
+    {"omitGraph": False},
+    {"omitDefault": True}, {"requireAll": True}, {"requireAll": False},
+    {"pruneBlankNodeIdentifiers": False},
+]
+
+
+@pytest.mark.parametrize("opt_i", range(len(FRAME_OPTION_CASES)),
+                         ids=[f"fo{i}" for i in range(len(FRAME_OPTION_CASES))])
+def test_frame_api_options_match_reference(oracle, opt_i):
+    from jsonld_js_spark.kernel import api
+
+    doc = {"@context": {"@vocab": V}, "@graph": [
+        {"@id": EX + "a", "@type": "T", "p": {"@id": EX + "b"}, "x": "1"},
+        {"@id": EX + "b", "@type": "T", "q": "2"}]}
+    frame = {"@context": {"@vocab": V}, "@type": "T"}
+    opts = FRAME_OPTION_CASES[opt_i]
+    if opts.get("omitDefault"):
+        frame = {**frame, "r": {"@default": "D"}}
+    if "requireAll" in opts:
+        frame = {**frame, "x": "1", "q": "2"}
+    if opts.get("explicit"):
+        frame = {**frame, "p": {}}
+    ref = oracle.call("frame", doc=doc, frame=frame, options=opts)
+    assert ref["ok"], ref
+    mine = api.frame(doc, frame, dict(opts))
+    assert deep_eq(mine, ref["result"]), (
+        f"opts={opts}:\nmine={json.dumps(mine, sort_keys=True)}\n"
+        f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+
+
+COMPACT_CORNER_CASES = [
+    # compact re-nesting via @nest terms
+    ([{"@id": EX + "a", V + "p1": [{"@value": "x"}],
+       V + "p2": [{"@value": "y"}]}],
+     {"@vocab": V, "meta": "@nest", "p1": {"@id": V + "p1", "@nest": "meta"},
+      "p2": {"@id": V + "p2", "@nest": "meta"}}),
+    # reverse property containers
+    ([{"@id": EX + "a", "@reverse": {V + "r": [{"@id": EX + "b"},
+                                              {"@id": EX + "c"}]}}],
+     {"@vocab": V, "rev": {"@reverse": V + "r", "@container": "@set"}}),
+    ([{"@id": EX + "a", "@reverse": {V + "r": [{"@id": EX + "b",
+                                                "@index": "i1"}]}}],
+     {"@vocab": V, "rev": {"@reverse": V + "r", "@container": "@index"}}),
+    # language-map selection with @direction
+    ([{"@id": EX + "a", V + "p": [
+        {"@value": "hi", "@language": "en", "@direction": "ltr"},
+        {"@value": "shalom", "@language": "he", "@direction": "rtl"}]}],
+     {"@vocab": V, "lm": {"@id": V + "p", "@container": "@language"},
+      "@direction": "ltr"}),
+    # graph+index container round-trip
+    ([{"@id": EX + "a", V + "g": [{"@graph": [
+        {"@id": EX + "n", V + "q": [{"@value": "v"}]}], "@index": "k"}]}],
+     {"@vocab": V, "gm": {"@id": V + "g", "@container": ["@graph", "@index"]}}),
+    # TYPE-SCOPED context re-application during compaction: terms the
+    # scoped context adds must be visible to the node's other
+    # properties (a stale inherited inverse-context memo hid them —
+    # the clone must drop memo fields)
+    ([{"@id": EX + "a", "@type": [V + "T"],
+       V + "p": [{"@id": EX + "b", "@type": [V + "U"]}]}],
+     {"@vocab": V, "T": {"@id": V + "T",
+                         "@context": {"p": {"@id": V + "p",
+                                            "@type": "@id"}}}}),
+    ([{"@id": EX + "a", V + "p": [{"@value": "v", "@index": "idx"}]}],
+     {"@vocab": V, "im": {"@id": V + "p", "@container": "@index"}}),
+    ([{"@id": EX + "a", V + "sub/x": [{"@value": "v"}]}],
+     {"@vocab": V, "s": V + "sub/"}),
+]
+
+
+@pytest.mark.parametrize("case_i", range(len(COMPACT_CORNER_CASES)),
+                         ids=[f"cc{i}" for i in range(len(COMPACT_CORNER_CASES))])
+def test_compact_corners_match_reference(oracle, case_i):
+    from jsonld_js_spark.kernel import api
+
+    doc, ctx = COMPACT_CORNER_CASES[case_i]
+    ref = oracle.call("compact", doc=doc, ctx=ctx)
+    assert ref["ok"], ref
+    mine = api.compact(doc, ctx, {})
+    assert deep_eq(mine, ref["result"]), (
+        f"mine={json.dumps(mine, sort_keys=True)}\n"
+        f"ref ={json.dumps(ref['result'], sort_keys=True)}")
