@@ -306,6 +306,21 @@ def compact_iri(active_ctx, iri, *, value=None, vocab: bool = False,
 
 # ------------------------------------------------------- value compaction
 
+_MISSING = object()
+
+
+def _scoped_ctx(active_ctx, prop):
+    """Term-scoped @context with NULL distinguished from ABSENT — the
+    reference checks _isUndefined, so a null scoped context still
+    processes (and resets the active context)."""
+    if prop is None or not isinstance(prop, str):
+        return _MISSING
+    m = active_ctx["mappings"].get(prop)
+    if m is None or "@context" not in m:
+        return _MISSING
+    return m["@context"]
+
+
 def _ctx_value(active_ctx, prop, key):
     """getContextValue semantics (lib/context.js getContextValue):
     term-level value if the term defines it, else the context default
@@ -436,9 +451,11 @@ def compact(active_ctx, element, options: dict | None = None, *,
                 return rval[0]
         return rval
 
-    # property-scoped context applies before anything else
-    prop_scoped = _ctx_value(active_ctx, active_property, "@context")
-    if prop_scoped is not None:
+    # property-scoped context applies before anything else; a NULL
+    # scoped context is DEFINED and resets (the reference's
+    # _isUndefined distinction, lib/compact.js:86-101)
+    prop_scoped = _scoped_ctx(active_ctx, active_property)
+    if prop_scoped is not _MISSING:
         active_ctx = process_context(active_ctx, prop_scoped, options,
                                      override_protected=True)
 
@@ -482,9 +499,9 @@ def compact(active_ctx, element, options: dict | None = None, *,
     # revert non-propagated context for node objects (lib/compact.js:153-156)
     from .context import revert_to_previous
     active_ctx = revert_to_previous(active_ctx)
-    # re-apply property-scoped context after the revert
-    prop_scoped = _ctx_value(input_ctx, active_property, "@context")
-    if prop_scoped is not None:
+    # re-apply property-scoped context after the revert (null resets)
+    prop_scoped = _scoped_ctx(input_ctx, active_property)
+    if prop_scoped is not _MISSING:
         active_ctx = process_context(active_ctx, prop_scoped, options,
                                      override_protected=True)
 
@@ -498,8 +515,8 @@ def compact(active_ctx, element, options: dict | None = None, *,
         if not isinstance(t, str):
             continue
         compacted_type = compact_iri(type_context, t, vocab=True)
-        ctx = _ctx_value(input_ctx, compacted_type, "@context")
-        if ctx is not None:
+        ctx = _scoped_ctx(input_ctx, compacted_type)
+        if ctx is not _MISSING:
             active_ctx = process_context(active_ctx, ctx, options,
                                          propagate=False)
 

@@ -1876,3 +1876,89 @@ def test_compact_corners_match_reference(oracle, case_i):
     assert deep_eq(mine, ref["result"]), (
         f"mine={json.dumps(mine, sort_keys=True)}\n"
         f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+
+
+def _rand_doc9(rng: random.Random):
+    """Ninth grammar: scoped-context COMPACTION compositions — the
+    clone-memo bug's home turf. Random mixes of type-scoped and
+    property-scoped contexts (sometimes @protected, sometimes
+    @propagate:false, sometimes nulling), compacted under the same
+    context so term visibility inside/outside scopes is exercised in
+    both directions (expand + compact round-trip)."""
+    ctx: dict = {"@vocab": V, "id": "@id", "type": "@type"}
+    doc: dict = {"@id": EX + f"n{rng.randrange(3)}"}
+    # a type with a scoped context
+    scoped: dict = {"sp": {"@id": V + "sp",
+                           "@type": rng.choice(["@id", None, V + "DT"])}}
+    if scoped["sp"]["@type"] is None:
+        del scoped["sp"]["@type"]
+    if rng.random() < 0.3:
+        scoped["@propagate"] = True
+    if rng.random() < 0.25:
+        scoped["hidden"] = None
+        ctx["hidden"] = V + "hidden"
+    ctx["TypeA"] = {"@id": V + "TypeA", "@context": scoped}
+    # a property with a scoped context
+    pscoped: dict = {"inner": V + "inner"}
+    if rng.random() < 0.3:
+        pscoped["@vocab"] = "http://other.org/"
+    if rng.random() < 0.2:
+        pscoped = None
+    ctx["branch"] = {"@id": V + "branch", "@context": pscoped}
+    if rng.random() < 0.4:
+        ctx["@protected"] = True
+    doc["@context"] = ctx
+    if rng.random() < 0.85:
+        doc["type"] = "TypeA"
+    if rng.random() < 0.8:
+        doc["sp"] = rng.choice([EX + "target", "plain", {"id": EX + "t2"}])
+    if rng.random() < 0.7:
+        inner_doc: dict = {"inner": f"v{rng.randrange(2)}"}
+        if rng.random() < 0.4:
+            inner_doc["type"] = "TypeA"
+            inner_doc["sp"] = EX + "deep"
+        if rng.random() < 0.3:
+            inner_doc["@context"] = rng.choice(
+                [{"late": V + "late"}, None, {"inner": V + "redefined"}])
+            if inner_doc["@context"] and rng.random() < 0.5:
+                inner_doc["late"] = "lv"
+        doc["branch"] = inner_doc
+    if rng.random() < 0.3:
+        doc["hidden"] = "visible?"
+    if rng.random() < 0.3:
+        doc["other"] = {"type": "TypeA", "sp": {"id": EX + "o2"},
+                        "inner": "outside-branch"}
+    return doc
+
+
+GRAMMAR9 = [_rand_doc9(random.Random(90_000 + s)) for s in range(60)]
+
+
+@pytest.mark.parametrize("case_i", range(len(GRAMMAR9)),
+                         ids=[f"g9_{i}" for i in range(len(GRAMMAR9))])
+@pytest.mark.parametrize("op", ["expand", "toRDF", "flatten", "compact"])
+def test_grammar9_matches_reference(oracle, op, case_i):
+    from jsonld_js_spark.kernel import compact as k_compact
+    from jsonld_js_spark.kernel import flatten as k_flat
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    doc = GRAMMAR9[case_i]
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc, ctx={"@context": doc["@context"]})
+    else:
+        ref = oracle.call(op, doc=doc)
+    try:
+        if op == "expand":
+            mine = k_expand(doc)
+        elif op == "toRDF":
+            mine = k_trd(doc, {"format": "application/n-quads"})
+        elif op == "flatten":
+            mine = k_flat(doc)
+        else:
+            mine = k_compact(doc, doc["@context"])
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True, default=str)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
