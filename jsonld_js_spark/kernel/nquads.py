@@ -11,6 +11,7 @@ from __future__ import annotations
 import re
 
 from . import constants as C
+from .errors import JsonLdError
 from .tordf import DEFAULT_GRAPH, named_node
 
 _ESCAPE = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r"}
@@ -22,6 +23,14 @@ def _escape(s: str) -> str:
 
 
 def _term_str(t: dict) -> str:
+    if t is None:
+        # a list item that converted to None (dropped relative
+        # reference) was still pushed into the cons chain
+        # (lib/toRdf.js:224-256); the reference then crashes reading
+        # null.termType during N-Quads serialization — replicate as a
+        # typed error rather than a bare attribute crash
+        raise JsonLdError("Cannot read properties of null "
+                          "(reading 'termType').", "TypeError")
     tt = t["termType"]
     if tt == "NamedNode":
         return f"<{t['value']}>"

@@ -140,32 +140,38 @@ def _graph_to_rdf(dataset, graph: dict, graph_term: dict, issuer, options):
 
 
 def _list_to_rdf(dataset, items: list, issuer, *, subject_graph, options) -> dict:
-    """rdf:first/rest/nil chain with fresh bnodes (lib/toRdf.js:211-262)."""
+    """rdf:first/rest/nil chain with fresh bnodes (lib/toRdf.js:211-262).
+
+    Allocation ORDER is observable in the emitted labels and mirrors
+    the reference exactly: the head cons cell is issued BEFORE any
+    item converts (so a nested inner list gets LATER labels than its
+    outer cell), and each following cell is issued right after its
+    predecessor's item. Items that convert to None (dropped relative
+    references) are still pushed — the reference crashes on them at
+    N-Quads serialization time, which kernel/nquads.py replicates."""
     first = named_node(C.RDF_FIRST)
     rest = named_node(C.RDF_REST)
     nil = named_node(C.RDF_NIL)
 
-    converted = []
+    items = list(items)
+    last = items.pop() if items else None
+    result = blank_node(issuer.get_id()) if last is not None else nil
+    subject = result
     for item in items:
         obj = _object_to_rdf(dataset, item, issuer, subject_graph, options)
-        if obj is not None:
-            converted.append(obj)
-    if not converted:
-        return nil
-    head = blank_node(issuer.get_id())
-    cur = head
-    for i, obj in enumerate(converted):
-        dataset.append({"subject": cur, "predicate": first, "object": obj,
+        nxt = blank_node(issuer.get_id())
+        dataset.append({"subject": subject, "predicate": first, "object": obj,
                         "graph": subject_graph})
-        if i + 1 < len(converted):
-            nxt = blank_node(issuer.get_id())
-            dataset.append({"subject": cur, "predicate": rest, "object": nxt,
-                            "graph": subject_graph})
-            cur = nxt
-        else:
-            dataset.append({"subject": cur, "predicate": rest, "object": nil,
-                            "graph": subject_graph})
-    return head
+        dataset.append({"subject": subject, "predicate": rest, "object": nxt,
+                        "graph": subject_graph})
+        subject = nxt
+    if last is not None:
+        obj = _object_to_rdf(dataset, last, issuer, subject_graph, options)
+        dataset.append({"subject": subject, "predicate": first, "object": obj,
+                        "graph": subject_graph})
+        dataset.append({"subject": subject, "predicate": rest, "object": nil,
+                        "graph": subject_graph})
+    return result
 
 
 def _object_to_rdf(dataset, item, issuer, graph_term, options) -> dict | None:

@@ -1962,3 +1962,38 @@ def test_grammar9_matches_reference(oracle, op, case_i):
             f"ref ={json.dumps(ref['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+NESTED_LIST_DOCS = [
+    # bnode ALLOCATION ORDER is observable: the outer cons cell is
+    # issued before its items convert (lib/toRdf.js:216-241)
+    {"@context": {"@vocab": V}, "@id": EX + "a",
+     "p": {"@list": [{"@list": ["a", "b"]}, "c"]}},
+    {"@context": {"@vocab": V}, "@id": EX + "a",
+     "p": {"@list": []}, "q": {"@list": [{"@id": EX + "n"}]}},
+    {"@context": {"@vocab": V}, "@id": EX + "a",
+     "p": {"@list": [{"@list": [{"@list": ["deep"]}]}, "x", {"@list": []}]}},
+    {"@context": {"@vocab": V}, "@id": EX + "a",
+     "p": {"@list": [{"@id": "_:inline"}, {"@list": ["i"]},
+                     {"@id": EX + "named"}]}},
+    # a list item that converts to null (dropped relative reference)
+    # is still pushed into the cons chain and the reference CRASHES
+    # serializing it (TypeError reading null.termType) — replicated
+    {"@context": {"@vocab": V}, "@id": EX + "a",
+     "p": {"@list": [{"@id": "relative-dropped"}, "keep"]}},
+]
+
+
+@pytest.mark.parametrize("doc_i", range(len(NESTED_LIST_DOCS)),
+                         ids=[f"nl{i}" for i in range(len(NESTED_LIST_DOCS))])
+def test_nested_list_tordf_matches_reference(oracle, doc_i):
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    doc = NESTED_LIST_DOCS[doc_i]
+    ref = oracle.call("toRDF", doc=doc)
+    try:
+        mine = k_trd(doc, {"format": "application/n-quads"})
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert mine == ref["result"], f"mine={mine!r}\nref={ref['result']!r}"
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
