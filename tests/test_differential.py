@@ -1997,3 +1997,105 @@ def test_nested_list_tordf_matches_reference(oracle, doc_i):
         assert mine == ref["result"], f"mine={mine!r}\nref={ref['result']!r}"
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+def _fr_quad(s, p, o):
+    return {"subject": s, "predicate": p, "object": o,
+            "graph": {"termType": "DefaultGraph", "value": ""}}
+
+
+def _fr_list_cases():
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    XS = "http://www.w3.org/2001/XMLSchema#string"
+    nn = lambda v: {"termType": "NamedNode", "value": v}
+    bn = lambda v: {"termType": "BlankNode", "value": v}
+    lit = lambda v: {"termType": "Literal", "value": v,
+                     "datatype": nn(XS), "language": ""}
+    q = _fr_quad
+    E = EX
+    return {
+        "shared-head": [q(nn(E+"s"), nn(E+"p"), bn("b0")),
+                        q(nn(E+"s2"), nn(E+"p"), bn("b0")),
+                        q(bn("b0"), nn(RDF+"first"), lit("a")),
+                        q(bn("b0"), nn(RDF+"rest"), nn(RDF+"nil"))],
+        "rest-cycle": [q(nn(E+"s"), nn(E+"p"), bn("b0")),
+                       q(bn("b0"), nn(RDF+"first"), lit("a")),
+                       q(bn("b0"), nn(RDF+"rest"), bn("b1")),
+                       q(bn("b1"), nn(RDF+"first"), lit("b")),
+                       q(bn("b1"), nn(RDF+"rest"), bn("b0"))],
+        "self-cycle": [q(nn(E+"s"), nn(E+"p"), bn("b0")),
+                       q(bn("b0"), nn(RDF+"first"), lit("a")),
+                       q(bn("b0"), nn(RDF+"rest"), bn("b0"))],
+        "extra-prop": [q(nn(E+"s"), nn(E+"p"), bn("b0")),
+                       q(bn("b0"), nn(RDF+"first"), lit("a")),
+                       q(bn("b0"), nn(RDF+"rest"), nn(RDF+"nil")),
+                       q(bn("b0"), nn(E+"x"), lit("y"))],
+        "double-first": [q(nn(E+"s"), nn(E+"p"), bn("b0")),
+                         q(bn("b0"), nn(RDF+"first"), lit("a")),
+                         q(bn("b0"), nn(RDF+"first"), lit("a2")),
+                         q(bn("b0"), nn(RDF+"rest"), nn(RDF+"nil"))],
+        "double-rest": [q(nn(E+"s"), nn(E+"p"), bn("b0")),
+                        q(bn("b0"), nn(RDF+"first"), lit("a")),
+                        q(bn("b0"), nn(RDF+"rest"), nn(RDF+"nil")),
+                        q(bn("b0"), nn(RDF+"rest"), bn("b1")),
+                        q(bn("b1"), nn(RDF+"first"), lit("b")),
+                        q(bn("b1"), nn(RDF+"rest"), nn(RDF+"nil"))],
+        "typed-list": [q(nn(E+"s"), nn(E+"p"), bn("b0")),
+                       q(bn("b0"), nn(RDF+"type"), nn(RDF+"List")),
+                       q(bn("b0"), nn(RDF+"first"), lit("a")),
+                       q(bn("b0"), nn(RDF+"rest"), nn(RDF+"nil"))],
+        "named-head": [q(nn(E+"s"), nn(E+"p"), nn(E+"head")),
+                       q(nn(E+"head"), nn(RDF+"first"), lit("a")),
+                       q(nn(E+"head"), nn(RDF+"rest"), nn(RDF+"nil"))],
+        "bare-nil": [q(nn(E+"s"), nn(E+"p"), nn(RDF+"nil"))],
+    }
+
+
+_FR_LIST_CASES = _fr_list_cases()
+
+
+@pytest.mark.parametrize("name", sorted(_FR_LIST_CASES),
+                         ids=sorted(_FR_LIST_CASES))
+def test_fromrdf_malformed_lists_match_reference(oracle, name):
+    """Degenerate rdf:first/rest chains (shared heads, cycles, double
+    first/rest, typed heads, named heads) reconstruct — or refuse to
+    reconstruct — exactly like lib/fromRdf.js's usages walk."""
+    ds = _FR_LIST_CASES[name]
+    ref = oracle.call("fromRDF", dataset=ds)
+    try:
+        mine = k_from_rdf(ds)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+_IRI_BASES = ["http://a/b/c/d;p?q", "http://a/b/c/d#frag", "http://h",
+              "http://h/", "file:///x/y"]
+_IRI_RELS = ["g", "./g", "g/", "/g", "//g", "?y", "g?y", "#s", "g#s",
+             "g?y#s", ";x", "g;x", "", ".", "./", "..", "../", "../g",
+             "../..", "../../", "../../g", "../../../g", "../../../../g",
+             "/./g", "/../g", "g.", ".g", "g..", "..g", "./../g", "./g/.",
+             "g/./h", "g/../h", "g;x=1/./y", "g;x=1/../y", "g#s/./x",
+             "g#s/../x", "http:g"]
+
+
+@pytest.mark.parametrize("base_i", range(len(_IRI_BASES)),
+                         ids=[f"b{i}" for i in range(len(_IRI_BASES))])
+def test_iri_resolution_battery_matches_reference(oracle, base_i):
+    """RFC3986 §5.4 normal + abnormal reference-resolution examples
+    (and then some) through @base expansion — one batched assertion
+    per base against lib/url.js prependBase."""
+    base = _IRI_BASES[base_i]
+    docs = [{"@context": {"@base": base, "@vocab": "http://v/"},
+             "@id": r, "p": "x"} for r in _IRI_RELS]
+    for doc in docs:
+        ref = oracle.call("expand", doc=doc)
+        assert ref["ok"], ref
+        mine = k_expand(doc)
+        assert deep_eq(mine, ref["result"]), (
+            f"base={base} rel={doc['@id']!r}:\n"
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
