@@ -2099,3 +2099,70 @@ def test_iri_resolution_battery_matches_reference(oracle, base_i):
             f"base={base} rel={doc['@id']!r}:\n"
             f"mine={json.dumps(mine, sort_keys=True)}\n"
             f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+
+
+SAFE_MODE_CASES = [
+    ("expand", {"@context": {"@vocab": V}, "@id": EX + "a",
+                "p": {"@value": None}}),
+    ("expand", {"@context": {"@vocab": V}, "@id": None, "p": "x"}),
+    ("expand", {"@context": {"@vocab": V}, "p": {"@id": EX + "b"},
+                "@annotation": "x"}),
+    ("expand", {"@context": {"@vocab": V}, "@graph": [{}]}),
+    ("expand", {"@context": {"@vocab": V}, "@graph": ["scalar"]}),
+    ("expand", {"@context": {"@vocab": V, "ann": "@annotation"}, "p": "x"}),
+    ("expand", {"@context": {"@vocab": V}, "@id": EX + "a",
+                "p": {"@value": "v", "@language": "not a lang!!"}}),
+    ("toRDF", {"@context": {"@vocab": V}, "@id": "relative", "p": "x"}),
+    ("toRDF", {"@context": {"@vocab": V}, "@id": EX + "a",
+               "p": {"@value": "v", "@direction": "ltr"}}),
+    ("toRDF", {"@context": {"@vocab": V}, "@id": EX + "a", "_:bpred": "x"}),
+]
+
+
+@pytest.mark.parametrize("case_i", range(len(SAFE_MODE_CASES)),
+                         ids=[f"sm{i}" for i in range(len(SAFE_MODE_CASES))])
+def test_safe_mode_matches_reference(oracle, case_i):
+    """safe:true turns exactly the enumerated warning codes into
+    errors (lib/events.js:103-129) — error/ok parity per document."""
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    op, doc = SAFE_MODE_CASES[case_i]
+    ref = oracle.call(op, doc=doc, options={"safe": True})
+    try:
+        if op == "expand":
+            mine = k_expand(doc, {"safe": True})
+        else:
+            mine = k_trd(doc, {"safe": True, "format": "application/n-quads"})
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"])
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+JCS_VALUES = [
+    {"a": 1, "b": [True, None, 1.5]},
+    [1e21, 1e-7, 0.1 + 0.2],
+    {"é": "€", "ź": "x"},
+    [-0.0, 123456789012345678901234567890.0],
+    {"": ""},
+    ["😀 emoji", "tab\t\"q\""],
+    {"n": 1.0},
+    [9007199254740993],
+    {"x": 5e-324},
+]
+
+
+@pytest.mark.parametrize("val_i", range(len(JCS_VALUES)),
+                         ids=[f"jcs{i}" for i in range(len(JCS_VALUES))])
+def test_json_literal_canonicalization_matches_reference(oracle, val_i):
+    """@type:@json literals serialize through RFC8785 (JCS): number
+    shortest-form/exponent rules, denormals, UTF-16 key sort, escape
+    minimization — byte parity with the reference's canonicalize."""
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    doc = {"@context": {"@vocab": V}, "@id": EX + "a",
+           "p": {"@value": JCS_VALUES[val_i], "@type": "@json"}}
+    ref = oracle.call("toRDF", doc=doc)
+    assert ref["ok"], ref
+    mine = k_trd(doc, {"format": "application/n-quads"})
+    assert mine == ref["result"], f"mine={mine!r}\nref={ref['result']!r}"

@@ -101,3 +101,28 @@ def test_resumable_write_is_multi_task(spark, tmp_path):
         parts = [f for f in os.listdir(os.path.join(out, "data", f"part_group={g}"))
                  if f.startswith("part-")]
         assert len(parts) > 1, f"group {g} wrote a single task"
+
+
+def test_embedding_dedup_plan_shape(spark):
+    """doc_dedup_embedding (SRP-LSH self-join): candidate generation
+    must be a hash equi-join on (band, sig) with JVM-side signature
+    math, no cartesian over the corpus, and no broadcast HINT of the
+    corpus vector table in the verify join (semi-join reduction +
+    unhinted join; AQE decides)."""
+    from jsonld_js_spark.queries import doc_dedup_embedding
+
+    df = doc_dedup_embedding(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
+def test_ngram_jaccard_stays_jvm_side(spark):
+    """Shingle construction is pure column algebra — no Python eval
+    stages before the block join."""
+    from jsonld_js_spark.queries import doc_dedup_ngram_jaccard
+
+    plan = _plan(doc_dedup_ngram_jaccard(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
