@@ -24,3 +24,10 @@ from .api import (  # noqa: F401
     process_context_api,
     to_rdf,
 )
+from .events import (  # noqa: F401
+    log_event_handler,
+    log_warning_event_handler,
+    safe_event_handler,
+    set_default_event_handler,
+    unhandled_event_handler,
+)

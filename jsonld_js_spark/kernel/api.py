@@ -30,6 +30,7 @@ from . import fromrdf as _fromrdf
 from . import nquads as _nquads
 from . import tordf as _tordf
 from .context import initial_context, process_context
+from .errors import JsonLdError
 from .nodemap import (
     IdentifierIssuer,
     create_node_map as _nm_create,
@@ -39,6 +40,11 @@ from .nodemap import (
 
 def _prepare(options: dict | None) -> dict:
     options = dict(options or {})
+    # obsolete jsonld.js 5.x options fail loudly (lib/jsonld.js:1047-1058)
+    for obsolete in ("compactionMap", "expansionMap"):
+        if obsolete in options:
+            raise JsonLdError(f'"{obsolete}" not supported.',
+                              "jsonld.OptionsError")
     options.setdefault("processingMode", "json-ld-1.1")
     options.setdefault("events", [])
     # jsonld.expand defaults base to '' when unset (lib/jsonld.js:307)
