@@ -198,3 +198,57 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         F.col("cosine").desc(), F.col(id_col).asc())
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k).drop("rn"))
+
+
+def kmeans_cells(embeddings: DataFrame, *, k: int = 8, iterations: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dims: int = 64, round_to: int = 6) -> DataFrame:
+    """Build an IVF coarse quantizer with Lloyd's k-means, expressed as
+    pure DataFrame ops — the index-BUILD step whose output feeds
+    :func:`ivf_topk` as the cell column.
+
+    Deterministic and cross-engine reproducible by construction:
+    initial centroids are the k lowest-id vectors (no RNG), every
+    recomputed centroid component is rounded to ``round_to`` decimals
+    (so float summation order cannot flip assignments), and ties on
+    distance break toward the lower cell id.
+
+    Scale shape: each iteration is ONE crossJoin against the
+    BROADCAST k-row centroid table (k is small by definition of a
+    coarse quantizer) + one groupBy(cell) partial/final aggregation —
+    no shuffle grows with k, and the corpus is scanned ``iterations+1``
+    times. Returns (id, cell).
+    """
+    e = _as_double(embeddings.select(F.col(id_col).alias("_id"),
+                                     F.col(vec_col).alias("_v")), "_v")
+    # deterministic seeds: the k lowest ids
+    cents = (e.orderBy("_id").limit(k)
+             .select((F.row_number().over(Window.orderBy("_id")) - 1)
+                     .alias("cell"),
+                     F.col("_v").alias("_c")))
+
+    def _assign(vecs, cents):
+        d2 = F.aggregate(F.zip_with("_v", "_c", lambda a, b: (a - b) * (a - b)),
+                         F.lit(0.0), lambda acc, x: acc + x)
+        w = Window.partitionBy("_id").orderBy(F.col("_d2").asc(),
+                                              F.col("cell").asc())
+        return (vecs.crossJoin(F.broadcast(cents))
+                .withColumn("_d2", d2)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("_id", "_v", "cell"))
+
+    assigned = _assign(e, cents)
+    for _ in range(iterations - 1):
+        new_cents = (assigned
+                     .select("cell", F.posexplode("_v").alias("dim", "x"))
+                     .groupBy("cell", "dim")
+                     .agg(F.round(F.avg("x"), round_to).alias("c"))
+                     .groupBy("cell")
+                     .agg(F.array_sort(F.collect_list(F.struct("dim", "c")))
+                          .alias("pairs"))
+                     .select("cell",
+                             F.transform("pairs", lambda p: p["c"])
+                             .alias("_c")))
+        assigned = _assign(e, new_cents)
+    return assigned.select(F.col("_id").alias(id_col), "cell")

@@ -1264,6 +1264,54 @@ SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.9
 ORACLE_DOC_DEDUP_EMBEDDING = _oracle_doc_dedup_embedding()
 
 
+def emb_kmeans_cells(spark, sf_dir):
+    """IVF index BUILD: Lloyd's k-means coarse quantizer
+    (operators/simsearch.kmeans_cells) — k=8 cells, 2 iterations,
+    deterministic lowest-id seeding, centroids rounded to 6 decimals
+    so assignment is cross-engine exact. Each iteration is one
+    broadcast crossJoin against the k-row centroid table + one
+    groupBy(cell) aggregation; the oracle unrolls both iterations as
+    CTEs."""
+    from .operators.simsearch import kmeans_cells
+
+    e = load(spark, sf_dir, "embeddings")
+    return kmeans_cells(e, k=8, iterations=2)
+
+
+ORACLE_EMB_KMEANS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+  FROM e ORDER BY vec_id LIMIT 8),
+a1 AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c0.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(
+               list_transform(range(1, 65), i -> e.v[i] - c0.c[i]),
+               list_transform(range(1, 65), i -> e.v[i] - c0.c[i])) ASC,
+             c0.cell ASC) AS rn
+    FROM e CROSS JOIN cents0 c0)
+  WHERE rn = 1),
+c1 AS (
+  SELECT cell, i, ROUND(AVG(v[i]), 6) AS c
+  FROM a1, unnest(range(1, 65)) t(i)
+  GROUP BY cell, i),
+cents1 AS (SELECT cell, list(c ORDER BY i) AS c FROM c1 GROUP BY cell),
+a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c1x.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(
+               list_transform(range(1, 65), i -> e.v[i] - c1x.c[i]),
+               list_transform(range(1, 65), i -> e.v[i] - c1x.c[i])) ASC,
+             c1x.cell ASC) AS rn
+    FROM e CROSS JOIN cents1 c1x)
+  WHERE rn = 1)
+SELECT vec_id, cell FROM a2
+"""
+
+
 def _docs_as_transcripts(spark, sf_dir):
     """documents -> transcript-shaped rows both engines can derive:
     conv 'doc-<id>', turn doc_id % 5, role by doc_id % 3, the document
@@ -1492,5 +1540,6 @@ QUERIES = {
     "emb_knn_lsh": (emb_knn_lsh, ORACLE_EMB_KNN_LSH),
     "emb_knn_ivf": (emb_knn_ivf, ORACLE_EMB_KNN_IVF),
     "emb_centroid_norm": (emb_centroid_norm, ORACLE_EMB_CENTROID),
+    "emb_kmeans_cells": (emb_kmeans_cells, ORACLE_EMB_KMEANS),
     "mm_binary_meta": (mm_binary_meta, ORACLE_MM_META),
 }

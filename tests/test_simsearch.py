@@ -146,3 +146,28 @@ def test_approx_scores_are_exact_for_reported(emb, queries, brute):
         key = (r["query_id"], r["vec_id"])
         if key in brute:
             assert abs(r["cosine"] - brute[key]) < 1e-9
+
+
+def test_kmeans_cells_deterministic_and_partitioning(spark):
+    """kmeans_cells: every vector gets exactly one cell, the labeling
+    is identical across repartitionings (deterministic seeding +
+    rounded centroids), and more iterations only reassign — never
+    lose — vectors."""
+    import hashlib
+
+    from jsonld_js_spark.operators.simsearch import kmeans_cells
+
+    def vec(i):
+        return [((int(hashlib.md5(f"k{i}:{d}".encode()).hexdigest()[:8], 16)
+                  % 2000) - 1000) / 1000.0 for d in range(16)]
+
+    rows = [(i, vec(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = kmeans_cells(df, k=4, iterations=2, dims=16)
+    got = {r["vec_id"]: r["cell"] for r in a.collect()}
+    assert len(got) == 60
+    assert set(got.values()) <= set(range(4))
+    b = kmeans_cells(df.repartition(7), k=4, iterations=2, dims=16)
+    assert {r["vec_id"]: r["cell"] for r in b.collect()} == got
+    c = kmeans_cells(df, k=4, iterations=3, dims=16)
+    assert len(c.collect()) == 60
