@@ -1264,6 +1264,74 @@ SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.9
 ORACLE_DOC_DEDUP_EMBEDDING = _oracle_doc_dedup_embedding()
 
 
+_LANG_PROFILES = [
+    ("de", ["der", "die", "das", "und", "ist", "ein", "nicht"]),
+    ("en", ["the", "a", "and", "of", "to", "is", "in"]),
+    ("es", ["el", "la", "los", "de", "que", "y", "en"]),
+    ("fr", ["le", "les", "et", "est", "un", "pas", "avec"]),
+]
+
+
+def doc_lang_id(spark, sf_dir):
+    """Language-ID heuristic: function-word voting over whitespace
+    tokens, argmax across per-language profiles with deterministic
+    tie-break (profile order), 'und' when no profile matches — pure
+    JVM column algebra, one pass, no shuffle before the projection.
+    NOTE: the synthetic corpus text is English-vocabulary word salad
+    under ALL lang labels, so predictions skew 'en'/'und' by design;
+    the operator itself is corpus-independent."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "),
+                    lambda x: x != "")
+    def _score(words):
+        # F.filter builds the expression eagerly, so the closure binds now
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    scored = F.array(*[
+        F.struct(_score(words).alias("score"),
+                 F.lit(len(_LANG_PROFILES) - i).alias("prio"),
+                 F.lit(lang).alias("lang"))
+        for i, (lang, words) in enumerate(_LANG_PROFILES)])
+    best = F.array_max(scored)
+    pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return d.select("doc_id", pred.alias("pred_lang"),
+                    best["score"].alias("evidence"),
+                    (F.col("lang") == pred).cast("int").alias("agrees"))
+
+
+def _oracle_doc_lang_id() -> str:
+    rows = ", ".join(
+        f"({len(_LANG_PROFILES) - i}, '{lang}', "
+        + "[" + ",".join(f"'{w}'" for w in words) + "])"
+        for i, (lang, words) in enumerate(_LANG_PROFILES))
+    return f"""
+WITH profiles(prio, lang, words) AS (VALUES {rows}),
+toks AS (
+  SELECT doc_id, lang AS true_lang,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents),
+scored AS (
+  SELECT doc_id, true_lang, p.prio, p.lang,
+         len(list_filter(t, x -> list_contains(p.words, x))) AS score
+  FROM toks CROSS JOIN profiles p),
+best AS (
+  SELECT doc_id, true_lang, lang, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, prio DESC) AS rn
+    FROM scored)
+  WHERE rn = 1)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
+       score AS evidence,
+       CAST(true_lang = CASE WHEN score > 0 THEN lang ELSE 'und' END
+            AS INT) AS agrees
+FROM best
+"""
+
+
+ORACLE_DOC_LANG_ID = _oracle_doc_lang_id()
+
+
 def emb_kmeans_cells(spark, sf_dir):
     """IVF index BUILD: Lloyd's k-means coarse quantizer
     (operators/simsearch.kmeans_cells) — k=8 cells, 2 iterations,
@@ -1534,6 +1602,7 @@ QUERIES = {
     "doc_dedup_embedding": (doc_dedup_embedding, ORACLE_DOC_DEDUP_EMBEDDING),
     "doc_simhash": (doc_simhash, ORACLE_DOC_SIMHASH),
     "doc_text_stats": (doc_text_stats, ORACLE_DOC_TEXT_STATS),
+    "doc_lang_id": (doc_lang_id, ORACLE_DOC_LANG_ID),
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "emb_pair_cosine": (emb_pair_cosine, ORACLE_EMB_PAIR),
     "emb_knn_brute": (emb_knn_brute, ORACLE_EMB_KNN),
