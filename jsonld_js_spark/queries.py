@@ -1264,6 +1264,44 @@ SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.9
 ORACLE_DOC_DEDUP_EMBEDDING = _oracle_doc_dedup_embedding()
 
 
+_BPE_PAT = (r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+            r"| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def doc_bpe_tokens(spark, sf_dir):
+    """Token counting with a BPE-ish pretokenizer: the GPT-2 split
+    regex minus its lookahead clauses (so Java regex and RE2 agree
+    byte-for-byte — verified cross-engine on punctuation/contraction/
+    digit shapes). Reports regex-token vs whitespace-token counts and
+    chars-per-token per document — the budget arithmetic a training
+    pipeline runs before packing."""
+    d = load(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0)
+    non_ws = F.filter(pieces, lambda p: F.trim(p) != "")
+    ws_toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(non_ws).alias("n_bpe"),
+        F.size(ws_toks).alias("n_ws"),
+        F.round(F.length("text") / F.greatest(F.size(non_ws), F.lit(1)), 4)
+        .alias("chars_per_tok"))
+
+
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+ORACLE_DOC_BPE = rf"""
+SELECT doc_id,
+       len(list_filter(regexp_extract_all(text, '{_BPE_PAT_SQL}'),
+                       p -> trim(p) <> '')) AS n_bpe,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws,
+       ROUND(CAST(length(text) AS DOUBLE)
+             / GREATEST(len(list_filter(regexp_extract_all(text, '{_BPE_PAT_SQL}'),
+                                        p -> trim(p) <> '')), 1), 4)
+           AS chars_per_tok
+FROM documents
+"""
+
+
 _LANG_PROFILES = [
     ("de", ["der", "die", "das", "und", "ist", "ein", "nicht"]),
     ("en", ["the", "a", "and", "of", "to", "is", "in"]),
@@ -1603,6 +1641,7 @@ QUERIES = {
     "doc_simhash": (doc_simhash, ORACLE_DOC_SIMHASH),
     "doc_text_stats": (doc_text_stats, ORACLE_DOC_TEXT_STATS),
     "doc_lang_id": (doc_lang_id, ORACLE_DOC_LANG_ID),
+    "doc_bpe_tokens": (doc_bpe_tokens, ORACLE_DOC_BPE),
     "doc_fingerprint": (doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "emb_pair_cosine": (emb_pair_cosine, ORACLE_EMB_PAIR),
     "emb_knn_brute": (emb_knn_brute, ORACLE_EMB_KNN),
