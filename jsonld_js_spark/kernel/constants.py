@@ -35,7 +35,6 @@ KEYWORDS = frozenset(
         "@first",
         "@graph",
         "@id",
-        "@import",
         "@included",
         "@index",
         "@json",
@@ -46,7 +45,6 @@ KEYWORDS = frozenset(
         "@omitDefault",
         "@prefix",
         "@preserve",
-        "@propagate",
         "@protected",
         "@requireAll",
         "@reverse",
@@ -55,9 +53,13 @@ KEYWORDS = frozenset(
         "@value",
         "@version",
         "@vocab",
-        "@any",
     }
 )
+# NOTE: the reference's isKeyword (lib/context.js) does NOT include
+# @import, @propagate (context-entry directives handled positionally,
+# not keywords) — so e.g. a term @id of "@propagate" is a 'reserved
+# @id value' warning, not a keyword alias, and an @import-merged
+# "@propagate" key is a dropped 'reserved term'. Replicated.
 
 
 def is_keyword(v) -> bool:

@@ -271,6 +271,10 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                     continue
 
         rval = _clone_ctx(rval)
+        # @import resolves against the base in force BEFORE this
+        # layer's own @base applies (the branch order moved @import
+        # after @base for defined-map parity; the URL base must not)
+        import_base = rval.get("@base")
 
         if "@version" in ctx:
             v = ctx["@version"]
@@ -280,23 +284,6 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                 raise JsonLdError("@version not compatible with json-ld-1.0",
                                   "jsonld.UnsupportedVersion", code="processing mode conflict")
             rval["processingMode"] = "json-ld-1.1"
-
-        if "@import" in ctx:
-            imp = ctx["@import"]
-            if active_ctx.get("processingMode") == "json-ld-1.0":
-                raise syntax_error(
-                    "@import not compatible with json-ld-1.0",
-                    "invalid context entry")
-            if not isinstance(imp, str):
-                raise syntax_error("@import must be a string.", "invalid @import value")
-            imported = _resolve_context_url(prepend_base(rval.get("@base"), imp), options)
-            if not isinstance(imported, dict):
-                raise syntax_error("@import must reference a context object.", "invalid remote context")
-            if "@import" in imported:
-                raise syntax_error("imported context must not include @import.", "invalid context entry")
-            merged = dict(imported)
-            merged.update({k: v for k, v in ctx.items() if k != "@import"})
-            ctx = merged
 
         if "@propagate" in ctx:
             p = ctx["@propagate"]
@@ -362,11 +349,41 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                 raise syntax_error('@direction must be "ltr", "rtl", or null.', "invalid base direction")
             rval["@direction"] = d
 
-        defined: dict = {}
+        # keyword keys consumed by the branches above are marked
+        # defined from the PRE-MERGE context (lib/context.js:187-326):
+        # keywords arriving only via the @import merge below fall
+        # through to the term loop and fail/drop exactly like the
+        # reference's createTermDefinition does
+        defined: dict = {
+            kw: True for kw in ("@version", "@base", "@vocab",
+                                "@language", "@direction", "@propagate")
+            if kw in ctx}
+
+        if "@import" in ctx:
+            imp = ctx["@import"]
+            if active_ctx.get("processingMode") == "json-ld-1.0":
+                raise syntax_error(
+                    "@import not compatible with json-ld-1.0",
+                    "invalid context entry")
+            if not isinstance(imp, str):
+                raise syntax_error("@import must be a string.", "invalid @import value")
+            imported = _resolve_context_url(prepend_base(import_base, imp), options)
+            if not isinstance(imported, dict):
+                raise syntax_error("@import must reference a context object.", "invalid remote context")
+            if "@import" in imported:
+                raise syntax_error("imported context must not include @import.", "invalid context entry")
+            merged = dict(imported)
+            merged.update({k: v for k, v in ctx.items() if k != "@import"})
+            ctx = merged
+            defined["@import"] = True
+
+        # `ctx['@protected'] || false` on the POST-merge context
+        # (lib/context.js:395): a falsy @protected leaves the defined
+        # flag False, so the term loop's cyclic check throws
+        # 'cyclic IRI mapping' for it — a faithful reference quirk
+        defined["@protected"] = bool(ctx.get("@protected") or False)
+
         for key in ctx:
-            if key in ("@base", "@vocab", "@language", "@direction",
-                       "@version", "@import", "@propagate", "@protected"):
-                continue
             create_term_definition(
                 rval, ctx, key, defined, options,
                 override_protected=override_protected,

@@ -2166,3 +2166,85 @@ def test_json_literal_canonicalization_matches_reference(oracle, val_i):
     assert ref["ok"], ref
     mine = k_trd(doc, {"format": "application/n-quads"})
     assert mine == ref["result"], f"mine={mine!r}\nref={ref['result']!r}"
+
+
+_IMPORT_DOCS = {
+    "http://c/base": {"@context": {"@vocab": V, "pb": V + "pb"}},
+    # NOTE: every import target carries a unique marker term so its
+    # content never equals an inline context processed elsewhere in
+    # this session — the reference's SHARED content-keyed resolved
+    # cache would otherwise hand the @import branch a processed
+    # {context, events} ENTRY instead of a raw context (its own code
+    # comments on exactly this hazard, lib/context.js:360-363), an
+    # order-dependent cross-call artifact we deliberately don't model
+    "http://c/vocab": {"@context": {"@vocab": V, "zz1": V + "zz1"}},
+    "http://c/vocab2": {"@context": {"@vocab": V, "zz2": V + "zz2"}},
+    "http://c/prop": {"@context": {"@propagate": True, "pb": V + "pb"}},
+    "http://c/protf": {"@context": {"@protected": False, "pb": V + "pb"}},
+    "http://c/prott": {"@context": {"@protected": True, "pb": V + "pb"}},
+    "http://c/ver": {"@context": {"@version": 1.1, "pb": V + "pb"}},
+    "http://c/baseb": {"@context": {"@base": "http://in/", "pb": V + "pb"}},
+}
+
+IMPORT_KEYWORD_CASES = [
+    # defined-map protocol (lib/context.js:187-395 +
+    # createTermDefinition:475-489): a falsy context-level @protected
+    # leaves defined['@protected'] False so the term loop throws
+    # 'cyclic IRI mapping'; truthiness is JS-style
+    {"@context": {"@vocab": V, "@protected": False, "t": V + "t"}, "t": "x"},
+    {"@context": {"@vocab": V, "@protected": True, "t": V + "t"}, "t": "x"},
+    {"@context": {"@vocab": V, "@protected": 0, "t": V + "t"}, "t": "x"},
+    {"@context": {"@vocab": V, "@protected": "yes", "t": V + "t"}, "t": "x"},
+    # the @import merge happens AFTER the keyword branches consume the
+    # PRE-merge keys: an imported @vocab/@base/@version hits the term
+    # loop as a keyword -> 'keyword redefinition' error
+    {"@context": {"@import": "http://c/vocab", "extra": V + "extra"},
+     "extra": "y"},
+    {"@context": {"@import": "http://c/baseb", "extra": V + "extra"},
+     "extra": "y"},
+    {"@context": {"@import": "http://c/ver"}, "pb": "z"},
+    # @propagate/@import are NOT in the reference's isKeyword list:
+    # an imported @propagate drops as a 'reserved term' warning
+    {"@context": {"@import": "http://c/prop", "extra": V + "extra"},
+     "extra": "y", "pb": "z"},
+    {"@context": {"@import": "http://c/protf", "extra": V + "extra"},
+     "extra": "y"},
+    {"@context": {"@import": "http://c/prott", "extra": V + "extra"},
+     "extra": "y", "pb": "z"},
+    # the importer's own keyword masks the imported one (merge skips
+    # keys the importing context already has). NOTE: a DISTINCT url —
+    # the reference's shared import cache stores the MERGED context of
+    # a prior call keyed by active-ctx instance and would replace this
+    # importer's context wholesale on a warm hit (a cross-call cache
+    # artifact we deliberately do not replicate)
+    {"@context": {"@import": "http://c/vocab2", "@vocab": "http://mine/",
+                  "extra": V + "extra"}, "extra": "y", "pb": "z"},
+    # term @id of "@propagate"/"@import" is a reserved @id value
+    # (warning + previous-mapping restore), NOT a keyword alias
+    {"@context": {"@vocab": V, "pp": {"@id": "@propagate"}}, "pp": "x"},
+    {"@context": {"@vocab": V, "pp": "@import"}, "pp": "x"},
+]
+
+
+@pytest.mark.parametrize("case_i", range(len(IMPORT_KEYWORD_CASES)),
+                         ids=[f"ik{i}" for i in range(len(IMPORT_KEYWORD_CASES))])
+def test_import_keyword_defined_map_matches_reference(oracle, case_i):
+    from collections import Counter
+
+    from jsonld_js_spark.kernel import api
+
+    doc = IMPORT_KEYWORD_CASES[case_i]
+    ref_docs = {u: {"document": d} for u, d in _IMPORT_DOCS.items()}
+    ref = oracle.call("expand", doc=doc, documents=ref_docs,
+                      collectEvents=True)
+    kopts = {"context_loader": dict(_IMPORT_DOCS), "events": []}
+    try:
+        mine = api.expand(doc, kopts)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+        assert Counter(e["code"] for e in kopts["events"]) == \
+            Counter(e["code"] for e in ref.get("events", []))
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
