@@ -83,20 +83,29 @@ def stream_extract(spark: SparkSession, input_dir: str, *,
     return triples_only(extract_triples(stream, canonicalize=canonicalize))
 
 
-def stream_windowed_mentions(triples_stream: DataFrame,
-                             transcripts_stream: DataFrame,
-                             entities: DataFrame) -> DataFrame:
+def stream_windowed_mentions(transcripts_stream: DataFrame,
+                             entities: DataFrame, *,
+                             window: str = "5 minutes",
+                             watermark: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling-window mention counts per entity — the
-    stateful-aggregation example (late turns beyond 10 minutes drop)."""
-    from ..operators.entity_link import link_entities
+    stateful-aggregation example: turns later than ``watermark``
+    behind the max observed event time are dropped, and in append
+    mode a window emits once the watermark passes its end.
 
-    links = link_entities(
-        transcripts_stream.withWatermark("ts", "10 minutes"), entities)
-    with_ts = links.join(
-        transcripts_stream.select("conv_id", "turn_idx", "ts"),
-        ["conv_id", "turn_idx"])
-    return (with_ts
-            .groupBy(F.window("ts", "5 minutes"), "entity_id")
+    The whole lineage stays on ONE watermarked projection (tokenize →
+    broadcast entity join → window agg): re-joining back to the raw
+    stream would sever the watermark from the aggregation's event-time
+    column and Spark rejects the plan."""
+    wm = transcripts_stream.withWatermark("ts", watermark)
+    toks = wm.select(
+        "conv_id", "turn_idx", "ts",
+        F.explode(F.array_distinct(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9_]+"),
+                     lambda x: x != ""))).alias("token"))
+    ents = entities.select(F.lower(F.col("surface")).alias("token"),
+                           "entity_id", "kind")
+    return (toks.join(F.broadcast(ents), "token")
+            .groupBy(F.window("ts", window), "entity_id")
             .agg(F.count(F.lit(1)).alias("mentions")))
 
 
