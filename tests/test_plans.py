@@ -126,3 +126,26 @@ def test_ngram_jaccard_stays_jvm_side(spark):
 
     plan = _plan(doc_dedup_ngram_jaccard(spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_text_analysis_queries_stay_jvm_side(spark):
+    """lang-id and BPE token counting are pure column algebra — no
+    Python eval stages anywhere in their plans."""
+    from jsonld_js_spark.queries import doc_bpe_tokens, doc_lang_id
+
+    for fn in (doc_lang_id, doc_bpe_tokens):
+        plan = _plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan and \
+            "ArrowEvalPython" not in plan, fn.__name__
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """Each k-means assignment joins the corpus against the k-row
+    centroid table via BROADCAST (never a shuffled join on the corpus)
+    and stays JVM-side."""
+    from jsonld_js_spark.queries import emb_kmeans_cells
+
+    plan = _plan(emb_kmeans_cells(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
