@@ -157,13 +157,21 @@ def from_rdf(quads: list[dict], *, use_rdf_type: bool = False,
     referenced_once: dict[str, object] = {}
 
     for quad in quads:
-        name = _term_id(quad["graph"])
+        # generalized-RDF raw-value quirks (lib/fromRdf.js:80-93):
+        # the GRAPH name and the PREDICATE use term.value directly —
+        # a blank-node graph/predicate gets NO '_:' prefix, so a bnode
+        # used as both subject and graph lands in TWO entries
+        # ('_:b0' node vs 'b0' graph node). Subjects/objects go
+        # through _nodeId and ARE prefixed.
+        gterm = quad["graph"]
+        name = "@default" if gterm["termType"] == "DefaultGraph" \
+            else gterm["value"]
         node_map = graph_map.setdefault(name, {})
         if name != "@default":
             default_graph.setdefault(name, {"@id": name})
 
         s = _term_id(quad["subject"])
-        p = _term_id(quad["predicate"])
+        p = quad["predicate"]["value"]
         o = quad["object"]
         node = node_map.setdefault(s, {"@id": s})
 

@@ -289,18 +289,11 @@ def test_fromrdf_matches_reference(oracle, doc):
         quads = k_to_rdf(doc)
     except JsonLdError:
         pytest.skip("document does not produce a dataset")
-    # RDF/JS dataset shape is shared between both sides, except that the
-    # reference's fromRDF reads bnode GRAPH names from the raw
-    # `graph.value` (lib/fromRdf.js:80) while stripping/re-adding `_:`
-    # everywhere else — send graph values WITH the prefix so the
-    # reference produces the spec-correct `_:bN` graph ids ours does.
-    sendable = []
-    for q in quads:
-        if q["graph"]["termType"] == "BlankNode":
-            q = {**q, "graph": {"termType": "BlankNode",
-                                "value": "_:" + q["graph"]["value"]}}
-        sendable.append(q)
-    ref = oracle.call("fromRDF", dataset=sendable)
+    # identical RDF/JS datasets on both sides: the kernel now
+    # replicates the reference's raw-value reads for bnode GRAPH
+    # names and PREDICATES (no '_:' prefix, lib/fromRdf.js:80,93) so
+    # no wire adjustment is needed
+    ref = oracle.call("fromRDF", dataset=quads)
     mine = k_from_rdf(quads)
     assert ref["ok"], ref
     assert deep_eq(mine, ref["result"])
@@ -2248,3 +2241,44 @@ def test_import_keyword_defined_map_matches_reference(oracle, case_i):
             Counter(e["code"] for e in ref.get("events", []))
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+def _gen_rdf_cases():
+    XS = "http://www.w3.org/2001/XMLSchema#string"
+    RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    nn = lambda v: {"termType": "NamedNode", "value": v}
+    bn = lambda v: {"termType": "BlankNode", "value": v}
+    lit = lambda v: {"termType": "Literal", "value": v,
+                     "datatype": nn(XS), "language": ""}
+    q = _fr_quad
+    E = EX
+    return {
+        # raw-value reads (lib/fromRdf.js:80,93): bnode PREDICATES and
+        # GRAPH names keep term.value verbatim (no '_:' prefix), while
+        # subjects/objects go through _nodeId and are prefixed — a
+        # bnode that is both subject and graph lands in TWO entries
+        "bnode-pred": [q(nn(E + "s"), bn("bp"), lit("v"))],
+        "bnode-graph": [{"subject": nn(E + "s"), "predicate": nn(E + "p"),
+                         "object": lit("v"), "graph": bn("bg")}],
+        "sub-and-graph": [q(bn("b0"), nn(E + "p"), lit("x")),
+                          {"subject": nn(E + "s"),
+                           "predicate": nn(E + "p2"),
+                           "object": lit("y"), "graph": bn("b0")}],
+        "type-literal": [q(nn(E + "s"), nn(RDF_T), lit("notiri"))],
+        "type-bnode": [q(nn(E + "s"), nn(RDF_T), bn("bt"))],
+    }
+
+
+_GEN_RDF_CASES = _gen_rdf_cases()
+
+
+@pytest.mark.parametrize("name", sorted(_GEN_RDF_CASES),
+                         ids=sorted(_GEN_RDF_CASES))
+def test_fromrdf_generalized_shapes_match_reference(oracle, name):
+    ds = _GEN_RDF_CASES[name]
+    ref = oracle.call("fromRDF", dataset=ds)
+    assert ref["ok"], ref
+    mine = k_from_rdf(ds)
+    assert deep_eq(mine, ref["result"]), (
+        f"mine={json.dumps(mine, sort_keys=True)}\n"
+        f"ref ={json.dumps(ref['result'], sort_keys=True)}")

@@ -183,13 +183,9 @@ def oracle():
 @pytest.mark.parametrize("name", CASES, ids=list(CASES))
 def test_list_reconstruction_matches_reference(oracle, name):
     quads = nq_parse(CASES[name])
-    sendable = []
-    for q in quads:
-        if q["graph"]["termType"] == "BlankNode":
-            q = {**q, "graph": {"termType": "BlankNode",
-                                "value": "_:" + q["graph"]["value"]}}
-        sendable.append(q)
-    ref = oracle.call("fromRDF", dataset=sendable)
+    # identical datasets both sides — the kernel replicates the
+    # reference's raw-value graph/predicate reads (lib/fromRdf.js:80,93)
+    ref = oracle.call("fromRDF", dataset=quads)
     assert ref["ok"], ref
     mine = k_from_rdf(quads)
     assert deep_eq(mine, ref["result"]), (
