@@ -144,9 +144,18 @@ def _layer_cache_key(rval, ctx, options, override_protected, propagate,
         fp = ("init", rval.get("@base"), rval.get("original_base"),
               rval.get("processingMode"))
     loader = options.get("context_loader") or {}
+    # override_protected is deliberately NOT in the key: the
+    # reference's processed cache keys by (resolved doc, active-ctx
+    # instance) only, so a property-scoped context processed with
+    # overrideProtected=true POISONS the cache and a later inline
+    # processing of the same content against the same parent skips
+    # the protected-redefinition check entirely (observable: a
+    # protected term nulled by a scoped context AND an embedded
+    # context in the same document errors without the scoped term
+    # definition but succeeds with it). Replicated bug-for-bug.
     return (fp, local_key, tuple(sorted(loader.keys())),
             options.get("processingMode"),
-            override_protected, propagate, validate_scoped)
+            propagate, validate_scoped)
 
 
 def process_context(active_ctx: dict, local_ctx, options: dict | None = None, *,

@@ -2282,3 +2282,32 @@ def test_fromrdf_generalized_shapes_match_reference(oracle, name):
     assert deep_eq(mine, ref["result"]), (
         f"mine={json.dumps(mine, sort_keys=True)}\n"
         f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+
+
+def test_scoped_override_poisons_protected_check(oracle):
+    """The processed-context cache keys by (content, parent instance)
+    only — NOT by overrideProtected — so a property-scoped context
+    processed with the override POISONS the cache: a later EMBEDDED
+    context with the same content against the same parent reuses the
+    overridden result and skips the protected-redefinition error.
+    Observable: nulling a protected term inline errors WITHOUT the
+    scoped term definition but succeeds WITH it. Replicated."""
+    base_ctx = {"@vocab": V, "@protected": True, "name": V + "name"}
+    with_scope = {**base_ctx,
+                  "branch": {"@id": V + "branch",
+                             "@context": {"name": None}}}
+    poisoned = {"@context": with_scope, "name": "v0",
+                "branch": {"name": "inner"},
+                "nested": {"@context": {"name": None}, "name": "deep"}}
+    plain = {"@context": base_ctx,
+             "nested": {"@context": {"name": None}, "name": "deep"}}
+    for doc in (poisoned, plain):
+        ref = oracle.call("expand", doc=doc)
+        try:
+            mine = k_expand(doc)
+            assert ref["ok"], f"reference errored but we didn't: {ref}"
+            assert deep_eq(mine, ref["result"]), (
+                f"mine={json.dumps(mine, sort_keys=True)}\n"
+                f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+        except JsonLdError as e:
+            assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
