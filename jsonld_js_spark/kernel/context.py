@@ -120,8 +120,36 @@ def _fresh_fp() -> str:
     return f"!{_FP_COUNTER[0]}"
 
 
-def _layer_cache_key(rval, ctx, options, override_protected, propagate,
-                     validate_scoped):
+def _peek_first_resolved(ctxs, options, base, _depth=0):
+    """What ``resolved[0].document`` would be after the reference's
+    upfront URL resolution + flattening (lib/ContextResolver.js): the
+    reference reads ``@propagate`` off the FIRST resolved layer only
+    (lib/context.js:94-98). This impl resolves URLs lazily inside the
+    layer loop, so peek: follow a leading URL through the static
+    ``context_loader`` table (side-effect free — no events, no cycle
+    counting). A callable document_loader is NOT invoked here; the
+    in-loop recursion extracts at layer 0 instead. Returns a dict or
+    None (None == no override)."""
+    if _depth > 10:
+        return None
+    ctx = ctxs
+    while isinstance(ctx, list):
+        if not ctx:
+            return None
+        ctx = ctx[0]
+    if isinstance(ctx, str):
+        loader = options.get("context_loader") or {}
+        url = prepend_base(base, ctx)
+        doc = loader.get(url)
+        if isinstance(doc, dict) and "@context" in doc:
+            doc = doc["@context"]
+        if doc is None:
+            return None
+        return _peek_first_resolved(doc, options, url, _depth + 1)
+    return ctx if isinstance(ctx, dict) else None
+
+
+def _layer_cache_key(rval, ctx, options, override_protected):
     """Per-LAYER memo key, mirroring ResolvedContext.getProcessed
     (lib/ResolvedContext.js:23-28): one resolved context document
     (keyed by content, lib/ContextResolver.js:70-76) caches its
@@ -144,18 +172,20 @@ def _layer_cache_key(rval, ctx, options, override_protected, propagate,
         fp = ("init", rval.get("@base"), rval.get("original_base"),
               rval.get("processingMode"))
     loader = options.get("context_loader") or {}
-    # override_protected is deliberately NOT in the key: the
-    # reference's processed cache keys by (resolved doc, active-ctx
-    # instance) only, so a property-scoped context processed with
-    # overrideProtected=true POISONS the cache and a later inline
-    # processing of the same content against the same parent skips
-    # the protected-redefinition check entirely (observable: a
-    # protected term nulled by a scoped context AND an embedded
-    # context in the same document errors without the scoped term
-    # definition but succeeds with it). Replicated bug-for-bug.
+    # override_protected, propagate and validate_scoped are deliberately
+    # NOT in the key: the reference's processed cache keys by (resolved
+    # doc, active-ctx instance) ONLY (lib/ResolvedContext.js:23-28), so
+    # a property-scoped context processed with overrideProtected=true
+    # POISONS the cache and a later inline processing of the same
+    # content against the same parent skips the protected-redefinition
+    # check entirely; likewise a layer processed under one
+    # propagate/validateScoped flag cache-hits for any other flag
+    # combination against the same parent instance (the propagate case
+    # is reachable only when the parent already carries previousContext
+    # — otherwise the reference's pre-loop clone makes a fresh instance
+    # and the lookup misses anyway). Replicated bug-for-bug.
     return (fp, local_key, tuple(sorted(loader.keys())),
-            options.get("processingMode"),
-            propagate, validate_scoped)
+            options.get("processingMode"))
 
 
 def process_context(active_ctx: dict, local_ctx, options: dict | None = None, *,
@@ -188,7 +218,8 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                           override_protected: bool = False, propagate: bool = True,
                           validate_scoped: bool = True,
                           _remote_cycle: frozenset = frozenset(),
-                          _remote_seen: set | None = None) -> dict:
+                          _remote_seen: set | None = None,
+                          _extract_propagate: bool = True) -> dict:
     if _remote_seen is None:
         _remote_seen = set()
     options = options or {}
@@ -199,12 +230,31 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
     ctxs = local_ctx if isinstance(local_ctx, list) else [local_ctx]
 
     rval = active_ctx
+    # `propagate` is overridden from the FIRST resolved layer ONLY
+    # (lib/context.js:94-98) — later layers' @propagate is error-checked
+    # in the body but NOT applied (verified differentially: a second
+    # layer's @propagate:false leaves propagation ON). `_extract_propagate`
+    # is False when a remote-layer recursion at index > 0 already knows
+    # the answer from the outer call.
+    if _extract_propagate:
+        first = _peek_first_resolved(ctxs, options, rval.get("@base"))
+        if first is not None and isinstance(first.get("@propagate"), bool):
+            propagate = first["@propagate"]
+    if not propagate and rval.get("previousContext") is None:
+        # pre-loop clone (lib/context.js:106-110): a BRAND-NEW instance
+        # (fresh _fp — first-layer cache lookups against it never hit,
+        # exactly like the reference's instance-keyed processed cache),
+        # holding the raw incoming context as previousContext; the
+        # per-layer clone below recursively direction-strips it
+        prev = rval
+        rval = _clone_ctx(prev)
+        rval["previousContext"] = prev
     # ONE shared captured-events list per call: every cold layer's cache
     # entry references this same list, so it accumulates across the
     # layer loop — the reference's observable behavior (its `events`
     # array at lib/context.js:70 is closed over by every setProcessed)
     captured: list = []
-    for ctx in ctxs:
+    for _layer_idx, ctx in enumerate(ctxs):
         if ctx is None:
             # null → reset to initial (keep original base); non-propagating
             # contexts stash the previous context for revert.
@@ -243,12 +293,18 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                     else "context overflow")
             _remote_seen.add(url)
             resolved = _resolve_context_url(url, options)
-            rval = process_context(
+            # a remote FIRST layer is resolved[0] of the whole op, so
+            # the sub-call may extract @propagate from its content
+            # (covers callable loaders the peek above cannot touch);
+            # remote layers at index > 0 must NOT extract — the
+            # reference applies only resolved[0]'s @propagate
+            rval = _process_context_impl(
                 rval, resolved, options,
                 override_protected=override_protected, propagate=propagate,
                 validate_scoped=validate_scoped,
                 _remote_cycle=_remote_cycle | {url},
-                _remote_seen=_remote_seen)
+                _remote_seen=_remote_seen,
+                _extract_propagate=(_layer_idx == 0))
             continue
 
         if not isinstance(ctx, dict):
@@ -263,8 +319,7 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
         n_ev_layer = len(options.get("events") or [])
         if not _remote_cycle and options.get("cache_contexts", True):
             layer_key = _layer_cache_key(rval, ctx, options,
-                                         override_protected, propagate,
-                                         validate_scoped)
+                                         override_protected)
             if layer_key is not None:
                 hit = _LAYER_CACHE.get(layer_key)
                 if hit is not None:
@@ -273,10 +328,6 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                              ev.get("level", "warning"),
                              **(ev.get("details") or {}))
                     rval = hit["context"]
-                    # a hit skips the body that reads this layer's
-                    # @propagate — keep the flag in sync for later layers
-                    if isinstance(ctx.get("@propagate"), bool):
-                        propagate = ctx["@propagate"]
                     continue
 
         rval = _clone_ctx(rval)
@@ -295,6 +346,9 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
             rval["processingMode"] = "json-ld-1.1"
 
         if "@propagate" in ctx:
+            # error checking ONLY — the value was already extracted from
+            # the first resolved layer pre-loop; later layers' values
+            # are validated but never applied (lib/context.js:309-326)
             p = ctx["@propagate"]
             if options.get("processingMode") == "json-ld-1.0":
                 raise syntax_error(
@@ -302,13 +356,6 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                     "invalid context entry")
             if not isinstance(p, bool):
                 raise syntax_error("@propagate must be boolean.", "invalid @propagate value")
-            propagate = p
-        if not propagate and rval.get("previousContext") is None:
-            # stored as a direction-stripped clone: the reference
-            # assigns the raw context pre-loop, then the per-context
-            # clone recursively strips @direction from it
-            # (lib/context.js:106-110,164 + _cloneActiveContext)
-            rval["previousContext"] = _clone_ctx(active_ctx)
 
         if "@base" in ctx:
             base = ctx["@base"]

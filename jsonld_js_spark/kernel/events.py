@@ -121,7 +121,10 @@ def emit(options: dict, code: str, message: str, level: str = "warning",
         chain.append(safe_event_handler)
     if options.get("eventHandler") is not None:
         chain.append(options["eventHandler"])
-    elif _DEFAULT_HANDLER[0] is not None:
+    # the default handler is ALWAYS appended after the per-call handler
+    # (lib/events.js:34-43 concats all three unconditionally), so a user
+    # handler that calls next() falls through to the default
+    if _DEFAULT_HANDLER[0] is not None:
         chain.append(_DEFAULT_HANDLER[0])
     if chain:
         _handle(event, chain)

@@ -136,8 +136,11 @@ def cosine_neardup_pairs(embeddings: DataFrame, *, threshold: float = 0.9,
     dropped_buckets)."""
     from .simsearch import _as_double, _cosine, _plane_coefs, _signatures
 
+    # cache the cast corpus: it feeds the signature build AND both
+    # verify semi-joins below — uncached, the 64-dot-product signature
+    # DAG re-executes for every consumer (mirrors minhash reps caching)
     e = _as_double(embeddings.select(F.col(id_col).alias("vec_id"),
-                                     F.col(vec_col).alias("v")), "v")
+                                     F.col(vec_col).alias("v")), "v").cache()
     coefs = _plane_coefs(dims, bits, seed)
     sig = _signatures(e, coefs, id_col="vec_id", vec_col="v",
                       bands=bands, bits=bits)
@@ -159,7 +162,11 @@ def cosine_neardup_pairs(embeddings: DataFrame, *, threshold: float = 0.9,
             "band", "sig", F.col("bsize").alias("size"))
         star = None
         cold = sized
-    cold = cold.select("vec_id", "band", "sig")
+    # cache the signature table: it feeds BOTH sides of the candidate
+    # self-join (plus the star/dropped branches upstream share sized's
+    # lineage) — without this the per-row bit-signature expression tree
+    # evaluates twice (mirrors minhash cold caching)
+    cold = cold.select("vec_id", "band", "sig").cache()
 
     a = cold.alias("a")
     b_ = cold.alias("b")

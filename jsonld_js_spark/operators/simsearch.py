@@ -249,6 +249,13 @@ def kmeans_cells(embeddings: DataFrame, *, k: int = 8, iterations: int = 2,
                           .alias("pairs"))
                      .select("cell",
                              F.transform("pairs", lambda p: p["c"])
-                             .alias("_c")))
+                             .alias("_c"))
+                     # truncate lineage at the k-row centroid table:
+                     # without this each iteration's plan embeds every
+                     # prior iteration's full assign+agg chain, so at
+                     # depth d the corpus DAG re-executes O(d) times;
+                     # checkpointing k rows keeps plan depth constant
+                     # and the corpus is scanned once per iteration
+                     .localCheckpoint())
         assigned = _assign(e, new_cents)
     return assigned.select(F.col("_id").alias(id_col), "cell")

@@ -2311,3 +2311,131 @@ def test_scoped_override_poisons_protected_check(oracle):
                 f"ref ={json.dumps(ref['result'], sort_keys=True)}")
         except JsonLdError as e:
             assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+def _propagate_cases():
+    """@propagate extraction battery: the reference overrides the
+    propagate flag from the FIRST resolved layer ONLY
+    (lib/context.js:94-98 reads resolved[0].document['@propagate']);
+    later layers' @propagate is error-checked in the body but never
+    applied (lib/context.js:309-326). Every case uses per-case-unique
+    vocab IRIs so the reference's shared processed-context cache never
+    interacts across cases (order-independent)."""
+    cases = []
+    rdocs = {}
+
+    def mk(i, ctx, *, inner_extra=None, docs=None):
+        a, b = f"http://a{i}.example/a", f"http://b{i}.example/b"
+        ex = f"http://ex{i}.example/"
+
+        def sub(x):
+            if isinstance(x, str):
+                return (x.replace("$A", a).replace("$B", b)
+                        .replace("$EX", ex).replace("$I", str(i)))
+            if isinstance(x, list):
+                return [sub(v) for v in x]
+            if isinstance(x, dict):
+                return {sub(k): sub(v) for k, v in x.items()}
+            return x
+        doc = {"@context": {"ex": ex},
+               "ex:outer": {"@context": sub(ctx), "a": "v1", "b": "v2",
+                            "ex:inner": {"a": "na", "b": "nb",
+                                         **(sub(inner_extra) or {})}}}
+        cases.append((doc, sub(docs) if docs else None))
+
+    # 1: second-layer @propagate:false is NOT applied (propagation on)
+    mk(1, [{"a": "$A"}, {"@propagate": False, "b": "$B"}])
+    # 2: first-layer @propagate:false applies to the whole multi-layer op
+    mk(2, [{"@propagate": False, "a": "$A"}, {"b": "$B"}])
+    # 3: single-object @propagate:false
+    mk(3, {"@propagate": False, "a": "$A", "b": "$B"})
+    # 4: second-layer @propagate:true no-op
+    mk(4, [{"a": "$A"}, {"@propagate": True, "b": "$B"}])
+    # 5: null layer AFTER a non-propagating first layer (null reset
+    # discards the pending previousContext wholesale)
+    mk(5, [{"@propagate": False, "a": "$A"}, None, {"b": "$B"}])
+    # 6: null FIRST layer -> resolved[0].document is null -> no override
+    mk(6, [None, {"@propagate": False, "a": "$A", "b": "$B"}])
+    # 7: non-boolean @propagate in a LATER layer still error-checks
+    mk(7, [{"a": "$A"}, {"@propagate": "nope", "b": "$B"}])
+    # 8: @propagate:false twice nested (inner node introduces its own
+    # non-propagating layer while one is already pending)
+    mk(8, [{"@propagate": False, "a": "$A"}, {"b": "$B"}],
+       inner_extra={"@context": {"@propagate": False, "a": "$A$I"},
+                    "ex:deep": {"a": "da", "b": "db"}})
+    # 9: remote FIRST layer whose content carries @propagate:false
+    mk(9, ["http://r$I.example/ctx", {"b": "$B"}],
+       docs={"http://r$I.example/ctx": {"@context":
+             {"@propagate": False, "a": "$A"}}})
+    # 10: remote SECOND layer with @propagate:false -> NOT applied
+    mk(10, [{"a": "$A"}, "http://r$I.example/ctx"],
+       docs={"http://r$I.example/ctx": {"@context":
+             {"@propagate": False, "b": "$B"}}})
+    # 11: remote first layer resolving to an ARRAY -> flattened;
+    # resolved[0] is the array's first element
+    mk(11, ["http://r$I.example/ctx"],
+       docs={"http://r$I.example/ctx": {"@context":
+             [{"@propagate": False, "a": "$A"}, {"b": "$B"}]}})
+    # 12: remote first layer array whose SECOND element has @propagate
+    mk(12, ["http://r$I.example/ctx"],
+       docs={"http://r$I.example/ctx": {"@context":
+             [{"a": "$A"}, {"@propagate": False, "b": "$B"}]}})
+    # 13: mixed first false / second true -> false wins (first only)
+    mk(13, [{"@propagate": False, "a": "$A"}, {"@propagate": True, "b": "$B"}])
+    # 14: type-scoped context with @propagate:true in its FIRST layer
+    # overrides the type-scoped default (propagate:false)
+    for i, tctx in ((14, {"@propagate": True, "a": "$A", "b": "$B"}),
+                    # 15: @propagate:true only in the SECOND layer of a
+                    # type-scoped context -> ignored, stays non-propagating
+                    (15, [{"a": "$A"}, {"@propagate": True, "b": "$B"}])):
+        a, b = f"http://a{i}.example/a", f"http://b{i}.example/b"
+        ex = f"http://ex{i}.example/"
+
+        def tsub(x, a=a, b=b, ex=ex):
+            s = json.dumps(x).replace("$A", a).replace("$B", b).replace("$EX", ex)
+            return json.loads(s)
+        cases.append(({"@context": {"ex": ex, "T": {"@id": ex + "T",
+                                                    "@context": tsub(tctx)}},
+                       "ex:outer": {"@type": "T", "a": "v1", "b": "v2",
+                                    "ex:inner": {"a": "na", "b": "nb"}}},
+                      None))
+    return cases
+
+
+PROPAGATE_CASES = _propagate_cases()
+
+
+@pytest.mark.parametrize("case_i", range(len(PROPAGATE_CASES)),
+                         ids=[f"pg{i}" for i in range(len(PROPAGATE_CASES))])
+@pytest.mark.parametrize("op", ["expand", "compact"])
+def test_propagate_first_layer_only_matches_reference(oracle, op, case_i):
+    from collections import Counter
+
+    from jsonld_js_spark.kernel import api
+
+    doc, docs = PROPAGATE_CASES[case_i]
+    kw = {}
+    if docs:
+        kw["documents"] = {u: {"document": d} for u, d in docs.items()}
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc,
+                          ctx={"@context": doc["@context"]}, **kw)
+    else:
+        ref = oracle.call("expand", doc=doc, collectEvents=True, **kw)
+    kopts = {"events": []}
+    if docs:
+        kopts["context_loader"] = dict(docs)
+    try:
+        if op == "expand":
+            mine = api.expand(doc, kopts)
+        else:
+            mine = api.compact(doc, doc["@context"], kopts)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+        if op == "expand":
+            assert Counter(e["code"] for e in kopts["events"]) == \
+                Counter(e["code"] for e in ref.get("events", []))
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"

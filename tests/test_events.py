@@ -95,3 +95,26 @@ def test_obsolete_options_error(opt):
     with pytest.raises(JsonLdError) as ei:
         expand({"@id": "http://e/a"}, {opt: lambda: None})
     assert "OptionsError" in (ei.value.name or "")
+
+
+def test_user_handler_next_falls_through_to_default():
+    """setupEventHandler (lib/events.js:34-43) concats the per-call
+    handler AND the default handler unconditionally: a user handler
+    that calls next() falls through to the process default."""
+    seen = []
+    set_default_event_handler(lambda *, event, next: seen.append("default"))
+    try:
+        calls = []
+
+        def user(*, event, next):
+            calls.append(event["code"])
+            next()
+        expand(WARN_DOC, {"eventHandler": user})
+        assert calls == ["null @value value"]
+        assert seen == ["default"]
+        # without next(), the default is NOT reached
+        seen.clear()
+        expand(WARN_DOC, {"eventHandler": lambda *, event, next: None})
+        assert seen == []
+    finally:
+        set_default_event_handler(None)
