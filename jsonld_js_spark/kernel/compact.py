@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from .constants import is_keyword
 from .context import expand_iri, process_context
-from .errors import syntax_error
+from .errors import JsonLdError, syntax_error
 from .iri import prepend_base, remove_base
 from .types import (
     is_graph,
@@ -124,6 +124,14 @@ def _select_term(active_ctx, iri, value, containers, type_or_language,
             continue
         tl_map = container_map[container][type_or_language]
         for pref in prefs:
+            # JS property lookup coerces an ARRAY pref (a value object's
+            # multi-element @type survives as an array — wave 8) to its
+            # ","-joined string; the membership test above ("_" in p)
+            # is ELEMENT membership on arrays in both languages
+            if isinstance(pref, list):
+                if not all(isinstance(x, str) for x in pref):
+                    continue
+                pref = ",".join(pref)
             if pref in tl_map:
                 return tl_map[pref]
     return None
@@ -153,21 +161,23 @@ def compact_iri(active_ctx, iri, *, value=None, vocab: bool = False,
             return alias
         return iri
 
+    sel_key = None
     if isinstance(iri, list):
         # array @type on a value object (type-index-map expansion
-        # artifact): the reference's JS membership test coerces the
-        # array to its ","-joined string, so a coerced inverse-context
-        # match runs term selection, while every later branch (vocab
-        # prefix / CURIE / base) does genuine string ops that silently
-        # no-op on arrays — a non-matching array passes through
-        # UNCHANGED (verified against the reference's compactIri)
-        if vocab and all(isinstance(x, str) for x in iri) \
-                and ",".join(iri) in inverse:
-            return compact_iri(active_ctx, ",".join(iri), value=value,
-                               vocab=vocab, reverse=reverse, base=base)
-        return iri
+        # artifact, compactValue -> compactIri at lib/compact.js:1020):
+        # the JS membership test `iri in inverseCtx` coerces the array
+        # to its ","-joined string, so a coerced hit runs TERM
+        # SELECTION (property lookups re-coerce); a selection MISS
+        # falls through to the ARRAY branches below — NOT the string
+        # fallbacks (verified via tests/ref_oracle)
+        joined = (",".join(iri)
+                  if all(isinstance(x, str) for x in iri) else None)
+        if vocab and joined is not None and joined in inverse:
+            sel_key = joined
+    elif vocab and iri in inverse:
+        sel_key = iri
 
-    if vocab and iri in inverse:
+    if sel_key is not None:
         default_language = (active_ctx.get("@language") or "@none").lower()
         containers: list[str] = []
         if isinstance(value, dict) and "@index" in value and "@graph" not in value:
@@ -256,11 +266,30 @@ def compact_iri(active_ctx, iri, *, value=None, vocab: bool = False,
         if is_value(value) and len(value) == 1:
             containers += ["@language", "@language@set"]
 
-        term = _select_term(active_ctx, iri, value, containers,
+        term = _select_term(active_ctx, sel_key, value, containers,
                             type_or_language, tl_value)
         if term is not None:
             return term
         _ = default_language
+
+    if isinstance(iri, list):
+        # post-selection branches are genuine JS STRING ops that the
+        # array reaches unguarded (lib/compact.js:830-930):
+        # - @vocab prefix test: Array.indexOf(vocab)===0 means the
+        #   FIRST ELEMENT equals @vocab, then Array.substr throws
+        # - the CURIE partial walk indexes whole elements into the
+        #   per-char trie (no-op for IRI-shaped elements)
+        # - the prefix-confusion loop calls Array.startsWith — a
+        #   TypeError whenever ANY prefix-capable term is defined
+        # - only a prefix-free context passes the array through
+        if vocab and active_ctx.get("@vocab") is not None and iri \
+                and iri[0] == active_ctx["@vocab"]:
+            raise JsonLdError("iri.substr is not a function", "TypeError")
+        if any(m and m.get("_prefix")
+               for m in active_ctx["mappings"].values()):
+            raise JsonLdError("iri.startsWith is not a function",
+                              "TypeError")
+        return iri
 
     # vocab-suffix fallback
     if vocab and active_ctx.get("@vocab") is not None:

@@ -2439,3 +2439,55 @@ def test_propagate_first_layer_only_matches_reference(oracle, op, case_i):
                 Counter(e["code"] for e in ref.get("events", []))
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+ARRAY_TYPE_DOC = {"http://p/p": {"@value": "v",
+                                 "@type": ["http://t1", "http://t2"]}}
+ARRAY_TYPE_CASES = [
+    # any prefix-capable term -> the confusion loop calls
+    # Array.startsWith -> TypeError (lib/compact.js:916)
+    {"ex": "http://ex.com/"},
+    # prefix-free context -> the array passes through every string
+    # branch unchanged
+    {"t": "http://full.example/term"},
+    # a term whose @id EQUALS the ","-joined coercion -> the inverse
+    # membership test hits and term selection returns it
+    {"joined": "http://t1,http://t2"},
+    # @vocab equal to the FIRST element: Array.indexOf(vocab)===0,
+    # then Array.substr -> TypeError (crashes before the prefix loop)
+    {"@vocab": "http://t1", "x": "http://q/x"},
+    # property term @type-coerced to the joined string: _selectTerm's
+    # pref lookup coerces the value's array @type and selects the term
+    {"p2": {"@id": "http://p/p", "@type": "http://t1,http://t2"}},
+    # coerced-hit term AND a prefix term: selection wins, no crash
+    {"joined": "http://t1,http://t2", "ex": "http://ex.com/"},
+    # prefix term but vocab==first element: substr crash comes first
+    {"@vocab": "http://t1", "ex": "http://ex.com/"},
+    # keyword-ish corner: type-scoped pass-through with @vocab not
+    # matching the first element
+    {"@vocab": "http://other/", "t": "http://full.example/term"},
+]
+
+
+@pytest.mark.parametrize("ctx_i", range(len(ARRAY_TYPE_CASES)),
+                         ids=[f"at{i}" for i in range(len(ARRAY_TYPE_CASES))])
+def test_array_type_compaction_matches_reference(oracle, ctx_i):
+    """Array @type on a value object reaching compactIri
+    (lib/compact.js:1020): JS coercion semantics replicated — coerced
+    inverse hit runs term selection; a miss falls through to ARRAY
+    no-op branches ending in Array.startsWith/substr TypeErrors
+    whenever a prefix-capable term / matching @vocab exists."""
+    from jsonld_js_spark.kernel import api
+
+    ctx = ARRAY_TYPE_CASES[ctx_i]
+    ref = oracle.call("compact", doc=ARRAY_TYPE_DOC, ctx={"@context": ctx})
+    try:
+        mine = api.compact(ARRAY_TYPE_DOC, ctx)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+        assert ref.get("message") == e.message, (
+            f"mine={e.message!r} ref={ref.get('message')!r}")
