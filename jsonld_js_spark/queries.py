@@ -459,6 +459,21 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 """
 
 
+def _shingles3(docs):
+    """(doc_id, lang, source, sh): distinct word-3-gram shingle arrays
+    built with pure column algebra (sequence + transform over the
+    ordered token array) — JVM-side, no shuffle, no UDF."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = (docs.select("doc_id", "lang", "source", toks.alias("t"))
+         .filter(F.size("t") >= 3))
+    sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.size("t") - 3),
+        lambda i: F.concat_ws("\x1f", F.element_at(F.col("t"), i + 1),
+                              F.element_at(F.col("t"), i + 2),
+                              F.element_at(F.col("t"), i + 3))))
+    return d.select("doc_id", "lang", "source", sh.alias("sh"))
+
+
 def doc_dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup detection on word 3-gram SHINGLES (order-sensitive,
     unlike the token-set variant above): Jaccard >= 0.5 over distinct
@@ -471,16 +486,7 @@ def doc_dedup_ngram_jaccard(spark, sf_dir):
     corpus scale run the same shingle arrays through
     operators/dedup.minhash_lsh_pairs (shingle -> minhash -> band ->
     bucket join), which bounds the pair space by bucket collisions."""
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    d = (load(spark, sf_dir, "documents")
-         .select("doc_id", "lang", "source", toks.alias("t"))
-         .filter(F.size("t") >= 3))
-    sh = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.size("t") - 3),
-        lambda i: F.concat_ws("\x1f", F.element_at(F.col("t"), i + 1),
-                              F.element_at(F.col("t"), i + 2),
-                              F.element_at(F.col("t"), i + 3))))
-    d = d.select("doc_id", "lang", "source", sh.alias("sh"))
+    d = _shingles3(load(spark, sf_dir, "documents"))
     a = d.alias("a")
     b = d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -654,14 +660,10 @@ def doc_dedup_minhash_capped(spark, sf_dir):
     return pairs
 
 
-ORACLE_DOC_MINHASH_CAPPED = f'''
-WITH d0 AS (
-  SELECT doc_id,
-         list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
-             AS toks
-  FROM documents
-  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
-d AS (
+# the capped-LSH oracle chain from the collapsed-shape table on —
+# shared by the token-set and shingle variants (the d0 CTE is the only
+# difference between them)
+_ORACLE_CAPPED_CHAIN = f'''d AS (
   SELECT doc_id, toks FROM (
     SELECT doc_id, toks,
            MIN(doc_id) OVER (
@@ -706,6 +708,46 @@ WHERE CAST(len(list_intersect(d1.toks, d2.toks)) AS DOUBLE)
       / (len(d1.toks) + len(d2.toks) - len(list_intersect(d1.toks, d2.toks)))
       >= 0.5
 '''
+
+ORACLE_DOC_MINHASH_CAPPED = f'''
+WITH d0 AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS toks
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+{_ORACLE_CAPPED_CHAIN}'''
+
+
+def doc_dedup_ngram_minhash(spark, sf_dir):
+    """The ORDER-SENSITIVE dedup scale path: word-3-gram shingle sets
+    routed through the capped MinHash+LSH candidate generator
+    (operators/dedup.minhash_lsh_pairs with ``toks_col='sh'``) — the
+    production-shape counterpart of the all-pairs
+    ``doc_dedup_ngram_jaccard`` demo above. Shingles are built with
+    pure column algebra (no shuffle before the LSH bucket join), then
+    the generic operator does shape-collapse -> minhash -> band ->
+    bucket self-join with the hot-bucket star cap, and verifies
+    candidates with true shingle-set Jaccard >= 0.5."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _shingles3(load(spark, sf_dir, "documents")).select("doc_id", "sh")
+    pairs, _dropped = minhash_lsh_pairs(
+        d, n_minhash=_N_MINHASH, n_bands=_N_BANDS, threshold=0.5,
+        max_bucket=_MAX_BUCKET, toks_col="sh")
+    return pairs
+
+
+ORACLE_DOC_NGRAM_MINHASH = f'''
+WITH tt AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+d0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || chr(31) || t[i + 1] || chr(31) || t[i + 2])) AS toks
+  FROM tt WHERE len(t) >= 3),
+{_ORACLE_CAPPED_CHAIN}'''
 
 
 def doc_dedup_components(spark, sf_dir):
@@ -1636,6 +1678,8 @@ QUERIES = {
     "doc_dedup_minhash_lsh": (doc_dedup_minhash_lsh, ORACLE_DOC_MINHASH),
     "doc_dedup_minhash_capped": (doc_dedup_minhash_capped,
                                  ORACLE_DOC_MINHASH_CAPPED),
+    "doc_dedup_ngram_minhash": (doc_dedup_ngram_minhash,
+                                ORACLE_DOC_NGRAM_MINHASH),
     "doc_dedup_components": (doc_dedup_components, ORACLE_DOC_COMPONENTS),
     "doc_dedup_embedding": (doc_dedup_embedding, ORACLE_DOC_DEDUP_EMBEDDING),
     "doc_simhash": (doc_simhash, ORACLE_DOC_SIMHASH),

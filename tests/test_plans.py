@@ -149,3 +149,35 @@ def test_kmeans_assign_broadcasts_centroids(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_dedup_signature_stage_cached(spark):
+    """Round-4 fix: the SRP-LSH signature table (`cold`) and the cast
+    corpus (`e`) are cached, so the 64-dot-product signature DAG is
+    computed ONCE — both sides of the candidate self-join and the
+    verify semi-joins must read InMemoryTableScan, not recompute."""
+    from jsonld_js_spark.queries import doc_dedup_embedding
+
+    plan = _plan(doc_dedup_embedding(spark, SF))
+    assert plan.count("InMemoryTableScan") >= 3, plan.count("InMemoryTableScan")
+
+
+def test_kmeans_lineage_constant_across_iterations(spark):
+    """Round-4 fix: each Lloyd iteration localCheckpoints the k-row
+    centroid table, so plan depth is CONSTANT in the iteration count
+    (the corpus DAG appears once, fed by a checkpointed RDD scan) —
+    at iterations=6 the physical plan must not embed 6 nested copies
+    of the assign+reaggregate chain."""
+    from pyspark.sql import functions as F
+
+    from jsonld_js_spark.operators.simsearch import kmeans_cells
+
+    e = (spark.read.parquet(f"{SF}/embeddings.parquet")
+         .select("vec_id", "embedding"))
+    p2 = _plan(kmeans_cells(e, k=4, iterations=2))
+    p6 = _plan(kmeans_cells(e, k=4, iterations=6))
+    # the deep chain would multiply Exchange/HashAggregate node counts;
+    # with per-iteration checkpoints both plans have identical shape
+    for marker in ("Exchange", "HashAggregate", "Scan parquet"):
+        assert p6.count(marker) == p2.count(marker), (
+            marker, p2.count(marker), p6.count(marker))

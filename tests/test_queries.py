@@ -127,3 +127,24 @@ def test_kg_full_build_composite_gate(spark):
         link_entities(tx, ents, strategy="salted", n_salt=8)).count()
     assert n_doc > 0 and n_mentions > 0
     assert total == n_doc + n_mentions
+
+
+def test_kg_canonize_transcripts_composite_gate(spark):
+    """kg_canonize_transcripts has no SQL oracle (its input is
+    synthesized in Python), but it decomposes exactly: RDFC-1.0
+    canonicalization RELABELS blank nodes and never adds or drops
+    triples for this corpus (no duplicate-quad collapse in it), so its
+    row count must equal the plain extraction's triple count over the
+    SAME corpus slice — and the canonical labels themselves are
+    hash-gated elsewhere (tests/test_canon.py, kg_canonize_documents).
+    This pins the pipeline wiring the rows-only driver check can't."""
+    from jsonld_js_spark.operators.pipeline import (
+        extract_triples, triples_only)
+    from jsonld_js_spark.queries import kg_canonize_transcripts
+    from jsonld_js_spark.sources.transcripts import synthesize_transcripts
+
+    canon_rows = kg_canonize_transcripts(spark, SF_DIR).count()
+    tx = synthesize_transcripts(spark, 40, seed=42)
+    plain_rows = triples_only(extract_triples(tx)).count()
+    assert canon_rows > 0
+    assert canon_rows == plain_rows
