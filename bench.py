@@ -18,6 +18,35 @@ import os
 import time
 
 
+def _box_state() -> dict:
+    """Load/clock telemetry so cross-run regressions can be
+    adjudicated: this box is shared — neighbors swing heavy-query
+    walls 2-3x — and it down-clocks per-core as active cores grow.
+    A headline delta without these numbers is unexplainable."""
+    st: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            parts = f.read().split()
+        st["loadavg_1m"] = float(parts[0])
+        st["loadavg_5m"] = float(parts[1])
+        st["runnable_over_total"] = parts[3]
+    except (OSError, IndexError, ValueError):
+        pass
+    try:
+        mhz = []
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("cpu MHz"):
+                    mhz.append(float(line.split(":")[1]))
+        if mhz:
+            st["cpu_mhz_mean"] = round(sum(mhz) / len(mhz))
+            st["cpu_mhz_min"] = round(min(mhz))
+            st["cpu_mhz_max"] = round(max(mhz))
+    except (OSError, IndexError, ValueError):
+        pass
+    return st
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -49,7 +78,9 @@ def main() -> None:
     # cluster throughput.
     triples_only(extract_triples_hybrid(tx)).count()
     headline_walls = []
+    headline_box = []
     for _ in range(3):  # median-of-3: the headline must be signal
+        headline_box.append(_box_state())
         t0 = time.perf_counter()
         n_triples = triples_only(extract_triples_hybrid(tx)).count()
         headline_walls.append(time.perf_counter() - t0)
@@ -94,6 +125,8 @@ def main() -> None:
             "extract_wall_spread": [round(min(headline_walls), 3),
                                     round(max(headline_walls), 3)],
             "heavy_query_spread_min_max": spread,
+            "box_state_per_headline_run": headline_box,
+            "box_state_end": _box_state(),
         },
     }))
     spark.stop()

@@ -227,3 +227,62 @@ def test_stream_windowed_mentions_watermark(spark, transcripts, entities,
     # all turns share a tight time range, so at least the earliest
     # windows are past the final watermark and must have been emitted
     assert len(emitted) >= 0  # structural: query ran and conforms
+
+
+def test_stream_extract_restart_exactly_once_parity(spark, transcripts,
+                                                    tmp_path):
+    """The real writeStream contract (VERDICT r3 #6): a file-source
+    stream over a GROWING directory, parquet sink + checkpointLocation,
+    restarted between arrivals. Exactly-once across restarts (files
+    processed before a stop are not re-emitted after it) and full
+    triple parity with the batch extractor over the final directory —
+    per-(conv,turn) salted blank-node labels make the comparison
+    exact, not just count-based."""
+    inp = str(tmp_path / "grow_in")
+    out = str(tmp_path / "grow_out")
+    ckpt = str(tmp_path / "grow_ckpt")
+    os.makedirs(inp)
+
+    from jsonld_js_spark.operators.pipeline import (
+        extract_triples, triples_only)
+    from jsonld_js_spark.streaming.incremental import stream_extract
+
+    convs = sorted(r["conv_id"] for r in
+                   transcripts.select("conv_id").distinct().collect())
+    slices = [convs[:8], convs[8:16], convs[16:]]
+
+    def arrive(i):
+        (transcripts.filter(F.col("conv_id").isin(slices[i]))
+         .toPandas().to_parquet(f"{inp}/slice{i}.parquet",
+                                coerce_timestamps="us"))
+
+    def run_query():
+        q = (stream_extract(spark, inp)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(180), "stream did not drain in time"
+
+    arrive(0)
+    run_query()
+    n_after_first = spark.read.parquet(out).count()
+    assert n_after_first > 0
+
+    arrive(1)
+    run_query()  # RESTART from checkpoint: slice0 must not re-emit
+    arrive(2)
+    run_query()
+
+    streamed = spark.read.parquet(out)
+    batch = triples_only(extract_triples(spark.read.parquet(inp)))
+    cols = sorted(set(streamed.columns) & set(batch.columns))
+    assert {"subj", "pred", "obj_value"} <= set(cols)
+    def norm(df):
+        return sorted(tuple("" if v is None else str(v) for v in r)
+                      for r in df.select(*cols).collect())
+
+    s_rows = norm(streamed)
+    b_rows = norm(batch)
+    assert len(s_rows) == len(b_rows), (len(s_rows), len(b_rows))
+    assert s_rows == b_rows
