@@ -366,3 +366,45 @@ def test_clique3_completes_and_matches_forced_vector():
         f"_:c14n{i} <{EX}p> _:c14n{j} ." for i in range(3) for j in range(3)
         if i != j)
     assert lines == expected
+
+
+# ---------------------------------------------------------------------
+# Poison VECTOR (work-factor-dependent expected behavior; excluded from
+# the *.in.nq sweep because the default work factor must REJECT it)
+# ---------------------------------------------------------------------
+
+def _load_poison():
+    with open(os.path.join(VEC_DIR, "poison_clique6.poison.nq")) as f:
+        return "".join(line for line in f if not line.startswith("#"))
+
+
+@pytest.mark.parametrize("wf", [0, 2, 3])
+def test_poison_vector_rejected_at_bounded_work_factor(wf):
+    """The committed K6 poison vector must die under the bounded work
+    factors the reference harness uses (test.js:652-667), including
+    the verdict-requested maxWorkFactor=3."""
+    with pytest.raises(PoisonedDatasetError):
+        canonize(parse(_load_poison()), max_work_factor=wf)
+
+
+def test_poison_vector_forced_output_at_unbounded():
+    """At unbounded work factor the K6 completes and its output is
+    S6-FORCED (every bijection yields the same 30 ordered pairs) —
+    checked against the committed expected file, the independent
+    from-spec implementation, and a sample of relabelings (720 full
+    permutations x unbounded n-degree would be slow; symmetry makes
+    the sample sufficient and the full sweep redundant)."""
+    nq = _load_poison()
+    expected = _load("poison_clique6.expected.nq")
+    quads = parse(nq)
+    assert canonize(quads, max_work_factor=float("inf")) == expected
+    assert _spec_canonize(quads) == expected
+    labels = sorted(set(re.findall(r"_:([A-Za-z0-9]+)", nq)))
+    import random
+    rng = random.Random(7)
+    for _ in range(5):
+        perm = list(labels)
+        rng.shuffle(perm)
+        variant = _relabel(nq, {a: f"_:{b}" for a, b in zip(labels, perm)})
+        assert canonize(parse(variant),
+                        max_work_factor=float("inf")) == expected
