@@ -514,7 +514,16 @@ def _expand_type(active_ctx, type_scoped_ctx, value, rval, options):
     out = []
     for v in vals:
         if isinstance(v, str):
-            out.append(expand_iri(type_scoped_ctx, v, vocab=True, base=True))
+            ve = expand_iri(type_scoped_ctx, v, vocab=True, base=True)
+            # lib/expand.js:638-655: one warning per element whose
+            # expansion is neither @json nor absolute (the reference's
+            # REGEX_ABSOLUTE_IRI accepts the "_:" scheme, so blank-node
+            # types do NOT warn)
+            if ve != "@json" and isinstance(ve, str) and \
+                    not ve.startswith("_:") and not is_absolute_iri(ve):
+                _warn(options, "relative @type reference",
+                      "Relative @type reference found.", type=v)
+            out.append(ve)
         elif options.get("frameExpansion") and isinstance(v, dict):
             if not v:
                 out.append(v)

@@ -2491,3 +2491,109 @@ def test_array_type_compaction_matches_reference(oracle, ctx_i):
         assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
         assert ref.get("message") == e.message, (
             f"mine={e.message!r} ref={ref.get('message')!r}")
+
+
+def _rand_doc10(rng: random.Random):
+    """Tenth grammar: @propagate placement x multi-layer contexts x
+    scoped contexts x nesting — the round-4 restructure's home turf
+    (first-resolved-layer extraction, pre-loop previousContext clone,
+    flag-free processed-cache keys). Layers REPEAT content across
+    cases deliberately: warm-cache hits must replay the same events
+    and reuse the same processed layers the reference does (this
+    battery, like grammars 8/9, is order-dependent by design)."""
+    i = rng.randrange(4)
+    A = {"a": f"http://a{i}.org/a"}
+    B = {"b": f"http://b{i}.org/b"}
+    layers: list = []
+    # 1-3 layers, @propagate landing in a random one (only the first
+    # is extracted by the reference)
+    n_layers = rng.randrange(1, 4)
+    for li in range(n_layers):
+        layer = dict(A if li % 2 == 0 else B)
+        if rng.random() < 0.4:
+            layer["@propagate"] = rng.random() < 0.5
+        if rng.random() < 0.2:
+            layer["@vocab"] = V
+        layers.append(layer)
+    if rng.random() < 0.25:
+        layers.insert(rng.randrange(len(layers) + 1), None)
+    inner_ctx = layers if len(layers) > 1 else layers[0]
+
+    outer: dict = {"@vocab": V, "ex": EX}
+    # sometimes a type-scoped context with its own @propagate
+    if rng.random() < 0.5:
+        tctx = dict(rng.choice([A, B]))
+        tctx["t_only"] = V + "t_only"
+        if rng.random() < 0.5:
+            tctx["@propagate"] = rng.random() < 0.5
+        outer["T"] = {"@id": V + "T", "@context": tctx}
+    # sometimes a property-scoped context reusing the SAME layer list
+    # (cache interactions against differing parents)
+    if rng.random() < 0.5:
+        outer["branch"] = {"@id": V + "branch",
+                           "@context": rng.choice([inner_ctx, dict(A)])}
+
+    def node(depth: int) -> dict:
+        nd: dict = {}
+        if rng.random() < 0.6:
+            nd["a"] = f"av{depth}"
+        if rng.random() < 0.6:
+            nd["b"] = f"bv{depth}"
+        if "T" in outer and rng.random() < 0.5:
+            nd["@type"] = "T"
+            if rng.random() < 0.5:
+                nd["t_only"] = "tv"
+        if depth < 2:
+            if rng.random() < 0.6:
+                nd["ex:inner"] = node(depth + 1)
+            if "branch" in outer and rng.random() < 0.5:
+                nd["branch"] = node(depth + 1)
+        return nd
+
+    doc = {"@context": outer, "ex:outer": {"@context": inner_ctx,
+                                           **node(0)}}
+    if rng.random() < 0.3:
+        doc["ex:sibling"] = {"@context": inner_ctx, **node(1)}
+    return doc
+
+
+GRAMMAR10 = [_rand_doc10(random.Random(100_000 + s)) for s in range(60)]
+
+
+@pytest.mark.parametrize("case_i", range(len(GRAMMAR10)),
+                         ids=[f"g10_{i}" for i in range(len(GRAMMAR10))])
+@pytest.mark.parametrize("op", ["expand", "toRDF", "flatten", "compact"])
+def test_grammar10_matches_reference(oracle, op, case_i):
+    from collections import Counter
+
+    from jsonld_js_spark.kernel import compact as k_compact
+    from jsonld_js_spark.kernel import flatten as k_flat
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    doc = GRAMMAR10[case_i]
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc,
+                          ctx={"@context": doc["@context"]})
+    else:
+        ref = oracle.call(op, doc=doc, collectEvents=True)
+    kopts: dict = {"events": []}
+    try:
+        if op == "expand":
+            mine = k_expand(doc, kopts)
+        elif op == "toRDF":
+            mine = k_trd(doc, {**kopts, "format": "application/n-quads"})
+        elif op == "flatten":
+            mine = k_flat(doc, None, kopts)
+        else:
+            mine = k_compact(doc, doc["@context"], kopts)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True, default=str)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+        if op == "expand":
+            assert Counter(e["code"] for e in kopts["events"]) == \
+                Counter(e["code"] for e in ref.get("events", [])), (
+                f"events mine={Counter(e['code'] for e in kopts['events'])} "
+                f"ref={Counter(e['code'] for e in ref.get('events', []))}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
