@@ -43,7 +43,10 @@ def _rdf_to_object(o: dict, use_native_types: bool, rdf_direction: str | None):
         try:
             rval["@value"] = json.loads(value)
         except ValueError as e:
-            raise ValueError(f"invalid JSON literal: {value!r}") from e
+            raise JsonLdError("JSON literal could not be parsed.",
+                              "jsonld.InvalidJsonLiteral",
+                              code="invalid JSON literal",
+                              details={"value": value}) from e
         rval["@type"] = "@json"
         return rval
     if use_native_types:

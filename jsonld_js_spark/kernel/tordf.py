@@ -45,7 +45,16 @@ def _is_double_value(v) -> bool:
     if isinstance(v, bool):
         return False
     if isinstance(v, float):
-        return not v.is_integer() or abs(v) >= 1e21
+        if math.isnan(v) or math.isinf(v) or abs(v) >= 1e21:
+            return True
+        # lib/types.js:35-36: isDouble = String(v) contains '.' OR
+        # abs >= 1e21. JS prints magnitudes below 1e-6 exponentially,
+        # so e.g. 1e-7 stringifies DOTLESS ("1e-7"), fails this test,
+        # and lands on the integer path (toFixed(0) -> "0"); 1.5e-7
+        # ("1.5e-7") keeps its dot and stays a double. Verified
+        # differentially.
+        from .jcs import _fmt_number
+        return "." in _fmt_number(v)
     if isinstance(v, int):
         return abs(v) >= 1e21
     return False
@@ -195,7 +204,17 @@ def _object_to_rdf(dataset, item, issuer, graph_term, options) -> dict | None:
             obj["value"] = double_canonical(float(value))
             obj["datatype"]["value"] = datatype or C.XSD_DOUBLE
         elif isinstance(value, (int, float)) and not isinstance(value, bool):
-            obj["value"] = str(int(value))
+            iv = int(value)
+            # JS toFixed(0) keeps the sign when a NONZERO negative
+            # rounds to zero — (-1e-7).toFixed(0) === "-0" — but an
+            # actual negative zero prints unsigned ((-0).toFixed(0)
+            # === "0"). Only dotless tiny floats reach this branch as
+            # non-integers.
+            if iv == 0 and isinstance(value, float) and value != 0 and \
+                    math.copysign(1.0, value) < 0:
+                obj["value"] = "-0"
+            else:
+                obj["value"] = str(iv)
             obj["datatype"]["value"] = datatype or C.XSD_INTEGER
         elif direction is not None and options.get("rdfDirection") == "i18n-datatype":
             obj["value"] = str(value)

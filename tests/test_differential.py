@@ -2597,3 +2597,130 @@ def test_grammar10_matches_reference(oracle, op, case_i):
                 f"ref={Counter(e['code'] for e in ref.get('events', []))}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+_EMBED_DIAMOND = {"@context": {"@vocab": V}, "@graph": [
+    {"@id": EX + "a", "p": [{"@id": EX + "b"}, {"@id": EX + "c"}]},
+    {"@id": EX + "b", "p": {"@id": EX + "d"}, "n": "b"},
+    {"@id": EX + "c", "p": {"@id": EX + "d"}, "n": "c"},
+    {"@id": EX + "d", "n": "d"}]}
+_EMBED_CYCLE = {"@context": {"@vocab": V}, "@graph": [
+    {"@id": EX + "a", "p": {"@id": EX + "b"}, "n": "a"},
+    {"@id": EX + "b", "p": {"@id": EX + "a"}, "n": "b"}]}
+_EMBED_NAMED = {"@context": {"@vocab": V}, "@graph": [
+    {"@id": EX + "g1", "@graph": [
+        {"@id": EX + "a", "n": "in-g1", "p": {"@id": EX + "b"}},
+        {"@id": EX + "b", "n": "b-in-g1"}]},
+    {"@id": EX + "a", "n": "top-a"}]}
+
+FRAME_EMBED_CASES = [
+    # every @embed mode against shared references (diamond) and a
+    # 2-cycle, as in-frame keyword AND as API option; @link builds
+    # actual object-identity cycles -> both sides fail JSON
+    # serialization identically ("circular" IS the parity signal)
+    *[(f"diamond-{m}", _EMBED_DIAMOND,
+       {"@context": {"@vocab": V}, "@embed": m, "p": {}}, {})
+      for m in ("@link", "@always", "@never", "@once", "@first", "@last")],
+    *[(f"cycle-{m}", _EMBED_CYCLE,
+       {"@context": {"@vocab": V}, "@embed": m, "p": {}}, {})
+      for m in ("@link", "@always", "@never", "@once")],
+    *[(f"cycle-opt-{m}", _EMBED_CYCLE,
+       {"@context": {"@vocab": V}, "p": {}}, {"embed": m})
+      for m in ("@link", "@always", "@never")],
+    ("omitgraph-true", _EMBED_DIAMOND,
+     {"@context": {"@vocab": V}, "@embed": "@link", "p": {}},
+     {"omitGraph": True}),
+    ("omitgraph-false", _EMBED_DIAMOND,
+     {"@context": {"@vocab": V}, "@embed": "@link", "p": {}},
+     {"omitGraph": False}),
+    ("namedgraph", _EMBED_NAMED,
+     {"@context": {"@vocab": V}, "@id": EX + "g1", "@graph": {"p": {}}}, {}),
+    ("namedgraph-link", _EMBED_NAMED,
+     {"@context": {"@vocab": V}, "@id": EX + "g1",
+      "@graph": {"@embed": "@link", "p": {}}}, {}),
+    ("namedgraph-omit-false", _EMBED_NAMED,
+     {"@context": {"@vocab": V}, "@id": EX + "g1", "@graph": {}},
+     {"omitGraph": False}),
+    ("embed-bogus", _EMBED_DIAMOND,
+     {"@context": {"@vocab": V}, "@embed": "@bogus", "p": {}}, {}),
+    ("embed-true", _EMBED_DIAMOND,
+     {"@context": {"@vocab": V}, "@embed": True, "p": {}}, {}),
+    ("embed-false", _EMBED_DIAMOND,
+     {"@context": {"@vocab": V}, "@embed": False, "p": {}}, {}),
+    ("link-explicit", _EMBED_DIAMOND,
+     {"@context": {"@vocab": V}, "@embed": "@link", "@explicit": True,
+      "p": {}}, {}),
+    ("link-requireall", _EMBED_DIAMOND,
+     {"@context": {"@vocab": V}, "@embed": "@link", "@requireAll": True,
+      "p": {}, "n": {}}, {}),
+]
+
+
+@pytest.mark.parametrize(
+    "name,doc,frm,opts", FRAME_EMBED_CASES,
+    ids=[c[0] for c in FRAME_EMBED_CASES])
+def test_frame_embed_modes_match_reference(oracle, name, doc, frm, opts):
+    """@embed modes over shared-reference / cyclic / named-graph data
+    (lib/frame.js:419-439): embedded-copy placement, @link identity
+    cycles (unserializable on BOTH sides), omitGraph interplay."""
+    from jsonld_js_spark.kernel import api
+
+    ref = oracle.call("frame", doc=doc, frame=frm, options=opts)
+
+    def ser(ok, payload, err_msg=""):
+        if not ok:
+            return ("CIRCULAR" if "circular" in err_msg.lower()
+                    else "ERR")
+        try:
+            return json.dumps(payload, sort_keys=True)
+        except ValueError:
+            return "CIRCULAR"
+
+    try:
+        mine = api.frame(doc, frm, dict(opts))
+        m = ser(True, mine)
+    except JsonLdError:
+        m = "ERR"
+    r = ser(ref["ok"], ref.get("result"),
+            str(ref.get("message", "")) + str(ref.get("code", "")))
+    assert r == m or (r == m == "CIRCULAR") or r == m, f"{name}: {r} != {m}"
+    if r != "ERR" and r != "CIRCULAR":
+        assert r == m
+
+
+TINY_FLOAT_CASES = [-1e-7, 2e-8, -0.0, 0.0, 1e-7, 1.5e-7, -1.5e-7, 5e-7,
+                    9.9e-7, 1e-6, -1e-6, 2.0, -2.0, 1e15, 123456.0, 1e20,
+                    -1e20, 3.5e20, 1e21, -1e21, 0.1, -0.5]
+
+
+@pytest.mark.parametrize("n", TINY_FLOAT_CASES,
+                         ids=[f"tf{i}" for i in range(len(TINY_FLOAT_CASES))])
+def test_tiny_float_tordf_matches_reference(oracle, n):
+    """isDouble is a JS STRINGIFICATION test (lib/types.js:35-36):
+    dotless-printing floats (|v| < 1e-6 with whole mantissa) take the
+    integer toFixed(0) path — including the signed "-0" for nonzero
+    negatives — while anything printing with '.' or >= 1e21 is a
+    canonical double."""
+    doc = {"@id": EX + "a", "http://p/n": n}
+    ref = oracle.call("toRDF", doc=doc,
+                      options={"format": "application/n-quads"})
+    mine = k_to_rdf(doc, {"format": "application/n-quads"})
+    assert ref["ok"]
+    assert sorted(mine.splitlines()) == sorted(ref["result"].splitlines()), n
+
+
+def test_bad_json_literal_error_matches_reference(oracle):
+    """A malformed rdf:JSON literal raises the reference's
+    'invalid JSON literal' JsonLdError (not a bare parse error)."""
+    q = [{"subject": {"termType": "NamedNode", "value": EX + "a"},
+          "predicate": {"termType": "NamedNode", "value": V + "p"},
+          "object": {"termType": "Literal", "value": "{bad json",
+                     "datatype": {"termType": "NamedNode",
+                                  "value": "http://www.w3.org/1999/02/"
+                                           "22-rdf-syntax-ns#JSON"}},
+          "graph": {"termType": "DefaultGraph", "value": ""}}]
+    ref = oracle.call("fromRDF", dataset=q)
+    assert not ref["ok"] and ref.get("code") == "invalid JSON literal"
+    with pytest.raises(JsonLdError) as ei:
+        k_from_rdf(q, {})
+    assert ei.value.code == "invalid JSON literal"
