@@ -273,6 +273,7 @@ def from_rdf(dataset, options: dict | None = None) -> list:
         use_rdf_type=options.get("useRdfType", False),
         use_native_types=options.get("useNativeTypes", False),
         rdf_direction=options.get("rdfDirection"),
+        options=options,
     )
 
 

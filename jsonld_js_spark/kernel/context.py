@@ -393,6 +393,14 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
             elif not isinstance(lang, str):
                 raise syntax_error("@language must be a string or null.", "invalid default language")
             else:
+                # lib/context.js:264-279: malformed default language
+                # tags WARN (then lowercase and apply anyway)
+                from .expand import _LANG_RE
+
+                if not _LANG_RE.match(lang):
+                    emit(options, "invalid @language value",
+                         "@language value must be valid BCP47.",
+                         language=lang)
                 rval["@language"] = lang.lower()
 
         if "@direction" in ctx:

@@ -16,6 +16,8 @@ import re
 
 from . import constants as C
 from .errors import JsonLdError
+from .events import emit
+from .expand import _LANG_RE
 
 
 
@@ -27,7 +29,8 @@ def _term_id(t: dict) -> str:
     return t["value"]
 
 
-def _rdf_to_object(o: dict, use_native_types: bool, rdf_direction: str | None):
+def _rdf_to_object(o: dict, use_native_types: bool, rdf_direction: str | None,
+                   options: dict | None = None):
     """RDF term -> JSON-LD value object (lib/fromRdf.js:305-407)."""
     if o["termType"] in ("NamedNode", "BlankNode"):
         return {"@id": _term_id(o)}
@@ -37,6 +40,11 @@ def _rdf_to_object(o: dict, use_native_types: bool, rdf_direction: str | None):
 
     rval: dict = {"@value": value}
     if lang:
+        # lib/fromRdf.js:316-331: malformed literal language tags WARN
+        # and are kept verbatim
+        if not _LANG_RE.match(lang):
+            emit(options or {}, "invalid @language value",
+                 "@language value must be valid BCP47.", language=lang)
         rval["@language"] = lang
         return rval
     if dt == C.RDF_JSON_LITERAL:
@@ -90,6 +98,12 @@ def _rdf_to_object(o: dict, use_native_types: bool, rdf_direction: str | None):
         direction = parts[2] if len(parts) > 2 else None
         if language:
             rval["@language"] = language
+            # lib/fromRdf.js:382-399: i18n-decoded languages are
+            # BCP47-checked too
+            if not _LANG_RE.match(language):
+                emit(options or {}, "invalid @language value",
+                     "@language value must be valid BCP47.",
+                     language=language)
         if direction is not None:
             rval["@direction"] = direction
         return rval
@@ -142,7 +156,8 @@ def _add_unique(node: dict, key: str, value) -> None:
 
 def from_rdf(quads: list[dict], *, use_rdf_type: bool = False,
              use_native_types: bool = False,
-             rdf_direction: str | None = None) -> list:
+             rdf_direction: str | None = None,
+             options: dict | None = None) -> list:
     """Quads -> expanded JSON-LD array."""
     if rdf_direction:
         # lib/fromRdf.js:64-76: compound-literal is recognized but
@@ -186,7 +201,7 @@ def from_rdf(quads: list[dict], *, use_rdf_type: bool = False,
             _add_unique(node, "@type", _term_id(o))
             continue
 
-        value = _rdf_to_object(o, use_native_types, rdf_direction)
+        value = _rdf_to_object(o, use_native_types, rdf_direction, options)
         _add_unique(node, p, value)
 
         # list-usage bookkeeping (lib/fromRdf.js:113-139)

@@ -2724,3 +2724,73 @@ def test_bad_json_literal_error_matches_reference(oracle):
     with pytest.raises(JsonLdError) as ei:
         k_from_rdf(q, {})
     assert ei.value.code == "invalid JSON literal"
+
+
+LANG_WARN_CASES = [
+    # context-level @language: malformed tags WARN during context
+    # processing, then lowercase and apply (lib/context.js:264-279)
+    ("ctx", {"@context": {"@vocab": V, "@language": "en_US"},
+             "@id": EX + "a", "p": "x"}),
+    ("ctx-ok", {"@context": {"@vocab": V, "@language": "en-US"},
+                "@id": EX + "a", "p": "x"}),
+    ("ctx-numeric", {"@context": {"@vocab": V, "@language": "123"},
+                     "@id": EX + "a", "p": "x"}),
+    # value-level (existing expand site) for contrast
+    ("value", {"@id": EX + "a", V + "p": {"@value": "x",
+                                          "@language": "en US"}}),
+]
+
+
+@pytest.mark.parametrize("name,doc", LANG_WARN_CASES,
+                         ids=[c[0] for c in LANG_WARN_CASES])
+def test_language_warning_sites_match_reference(oracle, name, doc):
+    from collections import Counter
+
+    ref = oracle.call("expand", doc=doc, collectEvents=True)
+    kopts: dict = {"events": []}
+    mine = k_expand(doc, kopts)
+    assert ref["ok"]
+    assert deep_eq(mine, ref["result"])
+    assert Counter(e["code"] for e in kopts["events"]) == \
+        Counter(e["code"] for e in ref.get("events", []))
+
+
+FROMRDF_LANG_CASES = [
+    ("bad-literal-lang", "en_US", None),
+    ("ok-literal-lang", "en-US", None),
+    ("i18n-langdir", None, "https://www.w3.org/ns/i18n#en_ltr"),
+    ("i18n-bad-lang", None, "https://www.w3.org/ns/i18n#en5555555555_ltr"),
+]
+
+
+@pytest.mark.parametrize("name,lang,dt", FROMRDF_LANG_CASES,
+                         ids=[c[0] for c in FROMRDF_LANG_CASES])
+def test_fromrdf_language_warnings_match_reference(oracle, name, lang, dt):
+    """fromRDF warns on malformed BCP47 in literal languages AND in
+    i18n-datatype-decoded languages (lib/fromRdf.js:316-331,382-399),
+    keeping the value verbatim."""
+    from collections import Counter
+
+    from jsonld_js_spark.kernel import api
+
+    obj = {"termType": "Literal", "value": "x",
+           "datatype": {"termType": "NamedNode",
+                        "value": dt or "http://www.w3.org/2001/"
+                                       "XMLSchema#string"}}
+    if lang:
+        obj["language"] = lang
+        obj["datatype"]["value"] = \
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    q = [{"subject": {"termType": "NamedNode", "value": EX + "a"},
+          "predicate": {"termType": "NamedNode", "value": V + "p"},
+          "object": obj, "graph": {"termType": "DefaultGraph",
+                                   "value": ""}}]
+    opts = {"rdfDirection": "i18n-datatype"} if dt else {}
+    ref = oracle.call("fromRDF", dataset=q, options=opts,
+                      collectEvents=True)
+    kopts = {**opts, "events": []}
+    mine = api.from_rdf(q, kopts)
+    assert ref["ok"]
+    assert deep_eq(mine, ref["result"])
+    assert Counter(e["code"] for e in kopts["events"]) == \
+        Counter(e["code"] for e in ref.get("events", []))
