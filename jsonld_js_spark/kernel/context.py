@@ -63,6 +63,78 @@ def _clone_ctx(ctx: dict) -> dict:
     return out
 
 
+def _rewrite_context_urls(ctx, base):
+    """_resolveContextUrls (lib/ContextResolver.js:228-263): every
+    STRING found in context position inside a fetched remote context —
+    the @context value itself, array elements, and term definitions'
+    scoped @context values, recursively — is resolved against the
+    REMOTE document's base. Notably "" rewrites to the remote URL
+    itself (an immediate context cycle)."""
+    if isinstance(ctx, str):
+        return prepend_base(base, ctx)
+    if isinstance(ctx, list):
+        return [_rewrite_context_urls(e, base) if isinstance(e, (str, list))
+                else (_rewrite_term_ctx(e, base) if isinstance(e, dict)
+                      else e)
+                for e in ctx]
+    if isinstance(ctx, dict):
+        return _rewrite_term_ctx(ctx, base)
+    return ctx
+
+
+def _rewrite_term_ctx(obj: dict, base):
+    """The object walk: each term value is treated as a wrapper whose
+    own '@context' member (a scoped context) gets rewritten."""
+    out = {}
+    for k, v in obj.items():
+        if isinstance(v, dict) and "@context" in v:
+            v = {**v, "@context": _rewrite_context_urls(v["@context"], base)}
+        out[k] = v
+    return out
+
+
+def _extract_remote_context(doc, url: str):
+    """The reference's remote-context extraction, quirks intact
+    (lib/ContextResolver.js:114-128,185-198 + resolve():35-37):
+    - a non-object response -> 'invalid remote context'
+    - a JSON object WITHOUT an @context key -> the EMPTY context
+    - relative URL strings anywhere in context position are rewritten
+      against the remote base BEFORE anything else — so "@context": ""
+      becomes a self-URL and dies as a context cycle
+    - a (post-rewrite) JS-FALSY @context value (null/0/false) is never
+      unwrapped by resolve()'s truthy test, so the wrapper object
+      reaches the layer loop and dies there as 'invalid local context'
+      (verified: remote {"@context": null} errors while an INLINE null
+      context resets)
+    - anything truthy unwraps (arrays flatten; empty array = no layers)
+    """
+    if isinstance(doc, str):
+        import json as _json
+
+        try:
+            doc = _json.loads(doc)
+        except ValueError:
+            raise syntax_error(
+                f"Dereferencing a URL did not result in a valid JSON-LD "
+                f"object: {url}", "loading remote context failed")
+    if not isinstance(doc, dict):
+        raise syntax_error(
+            f"Dereferencing a URL did not result in a JSON object: {url}",
+            "invalid remote context")
+    if "@context" not in doc:
+        return {}
+    inner = _rewrite_context_urls(doc["@context"], url)
+    if inner is None or inner is False or inner == 0:
+        # resolve()'s truthy test never unwraps a falsy @context: the
+        # WRAPPER object itself becomes the resolved layer. The layer
+        # loop then unwraps it by-'in' and dies ('invalid local
+        # context'), but the @import branch merges it as-is — its
+        # "@context" key reaches the term loop as a keyword
+        # redefinition. Both observed against the reference.
+        return {"@context": inner}
+    return inner
+
+
 def _resolve_context_url(url: str, options: dict) -> object:
     """Look the context URL up in the driver-preloaded dict.
 
@@ -73,10 +145,7 @@ def _resolve_context_url(url: str, options: dict) -> object:
     """
     loader = options.get("context_loader") or {}
     if url in loader:
-        doc = loader[url]
-        if isinstance(doc, dict) and "@context" in doc:
-            return doc["@context"]
-        return doc
+        return _extract_remote_context(loader[url], url)
     if callable(options.get("document_loader")):
         # full loader path (Link headers, redirects — kernel/loader.py);
         # the reference validates the fetched body is a context object
@@ -93,12 +162,7 @@ def _resolve_context_url(url: str, options: dict) -> object:
                 f"object. URL: \"{url}\".",
                 "jsonld.InvalidUrl",
                 code="loading remote context failed") from err
-        doc = remote.get("document")
-        if not isinstance(doc, dict) or "@context" not in doc:
-            raise syntax_error(
-                f"Dereferencing a URL did not result in a valid JSON-LD "
-                f"context: {url}", "invalid remote context")
-        return doc["@context"]
+        return _extract_remote_context(remote.get("document"), url)
     raise JsonLdError(
         f"Dereferencing a URL did not result in a valid JSON-LD context: {url}",
         "jsonld.InvalidUrl",
@@ -147,6 +211,37 @@ def _peek_first_resolved(ctxs, options, base, _depth=0):
             return None
         return _peek_first_resolved(doc, options, url, _depth + 1)
     return ctx if isinstance(ctx, dict) else None
+
+
+def _resolve_import_layers(ctx, options, base=None, _depth=0,
+                           _cycle=frozenset()):
+    """Flatten an @import target the way ContextResolver.resolve does
+    (lib/ContextResolver.js:32-82): arrays flatten element-wise,
+    string URLs fetch recursively (with the remote URL-rewrite pass),
+    null becomes a null layer, and a non-object layer dies as
+    'invalid local context'. The @import resolve call gets its OWN
+    cycle set (resolve() defaults cycles to a new Set)."""
+    if isinstance(ctx, str):
+        url = ctx if base is None else prepend_base(base, ctx)
+        if len(_cycle) > 10:
+            raise syntax_error("Maximum number of @context URLs exceeded.",
+                               "context overflow", max=10)
+        if url in _cycle:
+            raise syntax_error(f"Cyclical @context URLs detected: {url}",
+                               "context overflow")
+        resolved = _resolve_context_url(url, options)
+        return _resolve_import_layers(resolved, options, url,
+                                      _depth + 1, _cycle | {url})
+    if isinstance(ctx, list):
+        out = []
+        for e in ctx:
+            out.extend(_resolve_import_layers(e, options, base,
+                                              _depth + 1, _cycle))
+        return out
+    if ctx is not None and not isinstance(ctx, dict):
+        raise syntax_error("@context must be an object.",
+                           "invalid local context")
+    return [ctx]
 
 
 def _layer_cache_key(rval, ctx, options, override_protected):
@@ -219,15 +314,36 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                           validate_scoped: bool = True,
                           _remote_cycle: frozenset = frozenset(),
                           _remote_seen: set | None = None,
-                          _extract_propagate: bool = True) -> dict:
+                          _extract_propagate: bool = True,
+                          _layer_counter: list | None = None) -> dict:
     if _remote_seen is None:
         _remote_seen = set()
     options = options or {}
     if local_ctx is None:
         local_ctx = [None]
     if isinstance(local_ctx, dict) and "@context" in local_ctx:
-        local_ctx = local_ctx["@context"]
+        _inner = local_ctx["@context"]
+        # processContext unwraps array values (lib/context.js:58-61);
+        # resolve() unwraps any JS-TRUTHY value (:35-37). A falsy
+        # non-array @context stays WRAPPED and the wrapper flows into
+        # the layer loop (where the by-'in' unwrap rejects it).
+        if isinstance(_inner, list) or not (
+                _inner is None or _inner is False or _inner == 0
+                or _inner == ""):
+            local_ctx = _inner
     ctxs = local_ctx if isinstance(local_ctx, list) else [local_ctx]
+
+    # lib/context.js:65-67: an empty inline context array returns the
+    # active context untouched BEFORE resolution. But a NON-empty list
+    # whose every element resolves to zero layers (remote @context:[]
+    # chains) reaches the propagate extraction with resolved=[] and
+    # the reference crashes reading resolved[0].document — replicated
+    # via the per-call layer counter below.
+    if not ctxs:
+        return active_ctx
+    counts_here = _layer_counter is None
+    if counts_here:
+        _layer_counter = [0]
 
     rval = active_ctx
     # `propagate` is overridden from the FIRST resolved layer ONLY
@@ -255,6 +371,10 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
     # array at lib/context.js:70 is closed over by every setProcessed)
     captured: list = []
     for _layer_idx, ctx in enumerate(ctxs):
+        if not isinstance(ctx, str):
+            # a null/dict layer IS a resolved layer; string layers
+            # count via the shared counter inside their recursion
+            _layer_counter[0] += 1
         if ctx is None:
             # null → reset to initial (keep original base); non-propagating
             # contexts stash the previous context for revert.
@@ -304,7 +424,8 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                 validate_scoped=validate_scoped,
                 _remote_cycle=_remote_cycle | {url},
                 _remote_seen=_remote_seen,
-                _extract_propagate=(_layer_idx == 0))
+                _extract_propagate=(_layer_idx == 0),
+                _layer_counter=_layer_counter)
             continue
 
         if not isinstance(ctx, dict):
@@ -329,6 +450,16 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                              **(ev.get("details") or {}))
                     rval = hit["context"]
                     continue
+
+        # per-layer by-'in' unwrap (lib/context.js:148-150, AFTER the
+        # cache check): a wrapper layer carrying a falsy @context —
+        # the only kind that survives resolution wrapped — unwraps
+        # here and dies as a non-object
+        if "@context" in ctx:
+            ctx = ctx["@context"]
+            if not isinstance(ctx, dict):
+                raise syntax_error("@context must be an object.",
+                                   "invalid local context")
 
         rval = _clone_ctx(rval)
         # @import resolves against the base in force BEFORE this
@@ -431,9 +562,24 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                     "invalid context entry")
             if not isinstance(imp, str):
                 raise syntax_error("@import must be a string.", "invalid @import value")
-            imported = _resolve_context_url(prepend_base(import_base, imp), options)
-            if not isinstance(imported, dict):
-                raise syntax_error("@import must reference a context object.", "invalid remote context")
+            # the reference resolves the @import target through the
+            # full ContextResolver (arrays flatten, nested URLs fetch,
+            # each with URL-rewrite) and requires EXACTLY ONE resolved
+            # layer (lib/context.js:345-357) — a single-element array
+            # or a URL-chain target is accepted, two layers are not
+            layers = _resolve_import_layers(
+                prepend_base(import_base, imp), options)
+            if len(layers) != 1:
+                raise syntax_error(
+                    "@import must reference a single context.",
+                    "invalid remote context")
+            imported = layers[0]
+            if imported is None:
+                # `'@import' in null` — lib/context.js:366 with a null
+                # resolved layer
+                raise JsonLdError(
+                    "Cannot use 'in' operator to search for '@import' "
+                    "in null", "TypeError")
             if "@import" in imported:
                 raise syntax_error("imported context must not include @import.", "invalid context entry")
             merged = dict(imported)
@@ -465,6 +611,14 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                                            "events": captured}
         else:
             rval["_fp"] = _fresh_fp()
+    if counts_here and _layer_counter[0] == 0:
+        # non-empty context list, zero resolved layers (remote
+        # @context:[] chains): the reference reads resolved[0].document
+        # for the @propagate override and crashes (verified: inline []
+        # early-returns, remote-to-empty throws this TypeError)
+        raise JsonLdError(
+            "Cannot read properties of undefined (reading 'document')",
+            "TypeError")
     return rval
 
 

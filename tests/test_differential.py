@@ -2794,3 +2794,192 @@ def test_fromrdf_language_warnings_match_reference(oracle, name, lang, dt):
     assert deep_eq(mine, ref["result"])
     assert Counter(e["code"] for e in kopts["events"]) == \
         Counter(e["code"] for e in ref.get("events", []))
+
+
+def _rand_frame_case3(rng: random.Random):
+    """Third frame grammar: blank-node-heavy graphs with shared refs
+    and NAMED GRAPHS, random @embed modes everywhere (incl. @link on
+    acyclic shapes — cyclic @link output is unserializable on both
+    sides so ids here form a DAG), pruneBlankNodeIdentifiers/omitGraph
+    option combos."""
+    n = rng.randrange(3, 6)
+    nodes = []
+    for i in range(n):
+        nid = f"_:b{i}" if rng.random() < 0.5 else EX + f"n{i}"
+        node = {"@id": nid, "@type": V + f"T{i % 2}"}
+        if rng.random() < 0.7:
+            node[V + "name"] = [{"@value": f"nm{i}"}]
+        # DAG refs only (j > i) — @link on cycles can't JSON-serialize
+        for j in range(i + 1, n):
+            if rng.random() < 0.4:
+                node.setdefault(V + "ref", []).append(
+                    {"@id": nodes[0]["@id"] if False else
+                     (f"_:b{j}" if j % 2 else EX + f"n{j}")})
+        nodes.append(node)
+    doc = nodes
+    if rng.random() < 0.4:
+        # move a slice into a named graph
+        cut = rng.randrange(1, n)
+        doc = nodes[:cut] + [{"@id": EX + "g", "@graph": nodes[cut:]}]
+
+    frame: dict = {"@context": {"@vocab": V}}
+    r = rng.random()
+    if r < 0.4:
+        frame["@type"] = f"T{rng.randrange(2)}"
+    elif r < 0.6:
+        frame["name"] = {}
+    if rng.random() < 0.6:
+        frame["@embed"] = rng.choice(
+            ["@link", "@always", "@never", "@once", "@first", "@last"])
+    if rng.random() < 0.4:
+        frame["ref"] = ({"@embed": rng.choice(["@never", "@always"])}
+                        if rng.random() < 0.5 else {})
+    opts: dict = {}
+    if rng.random() < 0.4:
+        opts["pruneBlankNodeIdentifiers"] = rng.random() < 0.5
+    if rng.random() < 0.3:
+        opts["omitGraph"] = rng.random() < 0.5
+    if rng.random() < 0.3:
+        opts["explicit"] = rng.random() < 0.5
+    return doc, frame, opts
+
+
+FRAME3 = [_rand_frame_case3(random.Random(110_000 + s)) for s in range(80)]
+
+
+@pytest.mark.parametrize("case_i", range(len(FRAME3)),
+                         ids=[f"f3_{i}" for i in range(len(FRAME3))])
+def test_frame_fuzz3_matches_reference(oracle, case_i):
+    from jsonld_js_spark.kernel import api
+
+    doc, frm, opts = FRAME3[case_i]
+    ref = oracle.call("frame", doc=doc, frame=frm, options=opts)
+
+    try:
+        mine_obj = api.frame(doc, frm, dict(opts))
+        try:
+            mine = json.dumps(_js_numbers(mine_obj), sort_keys=True)
+        except ValueError:
+            mine = "CIRCULAR"
+    except JsonLdError:
+        mine = "ERR"
+    if ref["ok"]:
+        refs = json.dumps(_js_numbers(ref["result"]), sort_keys=True)
+    else:
+        msg = str(ref.get("message", "")) + str(ref.get("code", ""))
+        refs = "CIRCULAR" if "circular" in msg.lower() else "ERR"
+    assert mine == refs, f"mine={mine[:300]}\nref ={refs[:300]}"
+
+
+REMOTE_CTX_CASES = [
+    # nested remote chains + arrays mixing dicts and URLs
+    ("nested-remote", {"@context": "http://r/outer1", "rc_n": "v"},
+     {"http://r/outer1": {"@context": "http://r/inner1"},
+      "http://r/inner1": {"@context": {"rc_n": V + "rc_n"}}}),
+    ("remote-array-mixed", {"@context": "http://r/outer2", "rc_m1": "v",
+                            "rc_m2": "w"},
+     {"http://r/outer2": {"@context": [{"rc_m1": V + "rc_m1"},
+                                       "http://r/inner3"]},
+      "http://r/inner3": {"@context": {"rc_m2": V + "rc_m2"}}}),
+    # @import through URLs
+    # NOTE: unique marker terms — the reference's shared content-keyed
+    # resolved-context cache would otherwise hand the @import branch a
+    # processed entry from an earlier battery (the documented
+    # cross-call artifact CONFORMANCE.md deliberately does not model)
+    ("import-array", {"@context": {"@import": "http://r/arr", "x": V + "x"},
+                      "x": "v"},
+     {"http://r/arr": {"@context": [{"rc_arr_marker": V + "rc_arr"}]}}),
+    ("import-url", {"@context": {"@import": "http://r/u", "x": V + "x"},
+                    "x": "v"},
+     {"http://r/u": {"@context": "http://r/inner2"},
+      "http://r/inner2": {"@context": {"rc_u_marker": V + "rc_u"}}}),
+    # URL reuse is NOT a cycle; true cycles die
+    ("same-url-twice", {"@context": ["http://r/c1", "http://r/c1"],
+                        "rc_c1": "v"},
+     {"http://r/c1": {"@context": {"rc_c1": V + "rc_c1",
+                                   "@protected": True}}}),
+    ("true-cycle", {"@context": "http://r/cy1", "a": "v"},
+     {"http://r/cy1": {"@context": "http://r/cy2"},
+      "http://r/cy2": {"@context": "http://r/cy1"}}),
+    # remote doc WITHOUT @context key -> EMPTY context, not the doc
+    # body (lib/ContextResolver.js:195-197)
+    ("no-ctx-key", {"@context": "http://r/raw", "rc_raw": "v"},
+     {"http://r/raw": {"rc_raw": V + "rc_raw"}}),
+    # FALSY remote @context: resolve()'s truthy unwrap skips it, the
+    # wrapper reaches the layer loop -> 'invalid local context' (an
+    # INLINE null context would reset instead)
+    ("remote-null-ctx", {"@context": "http://r/n", "http://p/p": "v"},
+     {"http://r/n": {"@context": None}}),
+    ("remote-empty-str-ctx", {"@context": "http://r/es", "http://p/p": "v"},
+     {"http://r/es": {"@context": ""}}),
+    ("remote-false-ctx", {"@context": "http://r/f", "http://p/p": "v"},
+     {"http://r/f": {"@context": False}}),
+    # truthy empty array unwraps to ZERO layers
+    ("remote-empty-array-ctx", {"@context": "http://r/ea",
+                                "http://p/p": "v"},
+     {"http://r/ea": {"@context": []}}),
+    ("remote-scoped", {"@context": {"@vocab": V,
+                                    "rc_br": {"@id": V + "rc_br",
+                                              "@context": "http://r/sc"}},
+                       "rc_br": {"rc_q": "v"}},
+     {"http://r/sc": {"@context": {"rc_q": "http://in/rc_q"}}}),
+    ("remote-base", {"@context": "http://r/b", "@id": "rel",
+                     "http://p/p": "v"},
+     {"http://r/b": {"@context": {"@base": "http://based.org/dir/"}}}),
+    # @import resolution edges: exactly-one-layer rule, null layers,
+    # wrapper merge, cycles (unique content per the battery protocol)
+    ("import-null-layer", {"@context": {"@import": "http://q1/n",
+                                        "x": V + "x"}, "x": "v"},
+     {"http://q1/n": {"@context": [None]}}),
+    ("import-null-direct", {"@context": {"@import": "http://q2/n",
+                                         "x": V + "x"}, "x": "v"},
+     {"http://q2/n": {"@context": None}}),
+    ("import-two-layers", {"@context": {"@import": "http://q3/two",
+                                        "x": V + "x"}, "x": "v"},
+     {"http://q3/two": {"@context": [{"ima": V + "ima"},
+                                     {"imb": V + "imb"}]}}),
+    ("import-zero-layers", {"@context": {"@import": "http://q4/z",
+                                         "x": V + "x"}, "x": "v"},
+     {"http://q4/z": {"@context": []}}),
+    ("import-cycle", {"@context": {"@import": "http://q5/c",
+                                   "x": V + "x"}, "x": "v"},
+     {"http://q5/c": {"@context": "http://q5/c"}}),
+    # (an import target WITHOUT an @context key resolves to the empty
+    # context and works cold — but "{}" as shared-cache CONTENT always
+    # collides with any earlier empty inline context in a warm oracle
+    # session, triggering the unmodeled processed-entry leak, so that
+    # case lives in the probe notes, not this order-sensitive battery)
+    ("import-garbage", {"@context": {"@import": "http://q7/g",
+                                     "x": V + "x"}, "x": "v"},
+     {"http://q7/g": {"@context": 5}}),
+    ("import-scoped-rel", {"@context": {"@import": "http://q8/s",
+                                        "x": V + "x"},
+                           "x": "v", "imsc": {"iq": "w"}},
+     {"http://q8/s": {"@context": {"imsc": {"@id": V + "imsc",
+                                            "@context": "sub"}}},
+      "http://q8/sub": {"@context": {"iq": V + "iq"}}}),
+]
+
+
+@pytest.mark.parametrize("name,doc,docs", REMOTE_CTX_CASES,
+                         ids=[c[0] for c in REMOTE_CTX_CASES])
+def test_remote_context_resolution_matches_reference(oracle, name, doc, docs):
+    from collections import Counter
+
+    from jsonld_js_spark.kernel import api
+
+    ref = oracle.call("expand", doc=doc, collectEvents=True,
+                      documents={u: {"document": d} for u, d in docs.items()})
+    kopts = {"context_loader": dict(docs), "events": []}
+    try:
+        mine = api.expand(doc, kopts)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+        assert Counter(e["code"] for e in kopts["events"]) == \
+            Counter(e["code"] for e in ref.get("events", []))
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+        assert (e.code or e.name) == ref.get("code"), \
+            f"{e.code or e.name} != {ref.get('code')}"
