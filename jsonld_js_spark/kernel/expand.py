@@ -468,8 +468,13 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
                 ev = [v for v in ev if not _drop_unsafe_graph_item(v, options)]
                 if not ev:
                     continue
+            # lib/expand.js:971 wraps EVERY surviving item — its own
+            # comment says "and value is not, itself, a graph" but the
+            # map has no isGraph guard, so an explicit {"@graph": ...}
+            # value DOUBLE-WRAPS (only the @graph@id/@graph@index map
+            # path at :1246 checks). Verified differentially.
             expanded_value = [
-                v if is_graph(v) else {"@graph": v if isinstance(v, list) else [v]}
+                {"@graph": v if isinstance(v, list) else [v]}
                 for v in ev
             ]
 

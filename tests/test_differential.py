@@ -2983,3 +2983,95 @@ def test_remote_context_resolution_matches_reference(oracle, name, doc, docs):
         assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
         assert (e.code or e.name) == ref.get("code"), \
             f"{e.code or e.name} != {ref.get('code')}"
+
+
+def _rand_doc11(rng: random.Random):
+    """Eleventh grammar: CONTAINER-MAP round trips — random container
+    specs (@language/@index/@id/@type/@graph x @set) over random
+    matching data, exercising compaction's container-priority
+    selection (the containers list in compactIri) and expansion's map
+    walks in one doc."""
+    ctx: dict = {"@vocab": V}
+    doc: dict = {"@id": EX + "top"}
+    n_terms = rng.randrange(2, 5)
+    for t in range(n_terms):
+        kind = rng.choice(["@language", "@index", "@id", "@type",
+                           "@graph", "@set", "plain"])
+        name = f"t{t}"
+        if kind == "plain":
+            ctx[name] = V + name
+            doc[name] = rng.choice(["s", 7, True, {"@id": EX + "r"}])
+            continue
+        spec: dict = {"@id": V + name}
+        cont = [kind] if kind != "@set" else ["@set"]
+        if kind != "@set" and rng.random() < 0.4:
+            cont.append("@set")
+        spec["@container"] = cont if len(cont) > 1 else cont[0]
+        if kind == "@index" and rng.random() < 0.4:
+            spec["@index"] = V + "prop"
+        ctx[name] = spec
+        if kind == "@language":
+            doc[name] = {"en": "hello", "de": ["hallo", "tag"],
+                         "@none": "bare"} if rng.random() < 0.5 else \
+                {"en": f"v{t}"}
+        elif kind == "@index":
+            if "@index" in spec:
+                doc[name] = {f"i{rng.randrange(2)}": {"@id": EX + f"x{t}"}}
+            else:
+                doc[name] = {f"i{rng.randrange(3)}":
+                             rng.choice(["s", {"p2": "v"}, ["a", "b"]])}
+        elif kind == "@id":
+            doc[name] = {EX + f"k{t}": {"p2": f"v{t}"},
+                         "@none": {"p2": "anon"}} if rng.random() < 0.4 \
+                else {EX + f"k{t}": {"p2": f"v{t}"}}
+        elif kind == "@type":
+            doc[name] = {V + f"T{t}": {"@id": EX + f"y{t}", "p2": "w"}}
+        elif kind == "@graph":
+            doc[name] = {"@graph": [{"p2": f"g{t}"}]} \
+                if rng.random() < 0.5 else {"p2": f"g{t}"}
+        else:  # @set
+            doc[name] = rng.choice([["a", "b"], "single", [5]])
+    if "p2" not in ctx and rng.random() < 0.8:
+        ctx["p2"] = V + "p2"
+    doc["@context"] = ctx
+    return doc
+
+
+GRAMMAR11 = [_rand_doc11(random.Random(120_000 + s)) for s in range(60)]
+
+
+@pytest.mark.parametrize("case_i", range(len(GRAMMAR11)),
+                         ids=[f"g11_{i}" for i in range(len(GRAMMAR11))])
+@pytest.mark.parametrize("op", ["expand", "toRDF", "flatten", "compact"])
+def test_grammar11_matches_reference(oracle, op, case_i):
+    from collections import Counter
+
+    from jsonld_js_spark.kernel import compact as k_compact
+    from jsonld_js_spark.kernel import flatten as k_flat
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    doc = GRAMMAR11[case_i]
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc,
+                          ctx={"@context": doc["@context"]})
+    else:
+        ref = oracle.call(op, doc=doc, collectEvents=True)
+    kopts: dict = {"events": []}
+    try:
+        if op == "expand":
+            mine = k_expand(doc, kopts)
+        elif op == "toRDF":
+            mine = k_trd(doc, {**kopts, "format": "application/n-quads"})
+        elif op == "flatten":
+            mine = k_flat(doc, None, kopts)
+        else:
+            mine = k_compact(doc, doc["@context"], kopts)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True, default=str)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+        if op == "expand":
+            assert Counter(e["code"] for e in kopts["events"]) == \
+                Counter(e["code"] for e in ref.get("events", []))
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
