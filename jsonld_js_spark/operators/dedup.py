@@ -49,9 +49,19 @@ def minhash_lsh_pairs(docs: DataFrame, *, n_minhash: int = 12,
             .select("doc_id", "toks")
             .cache())
 
-    tok = reps.select("doc_id", F.explode("toks").alias("t"))
+    # hashing cost dominates the signature build on long tokens
+    # (shingles): compact each token to a 60-bit integer ONCE, then
+    # derive TWO 60-bit minhash functions per md5 (hex chars 1-15 and
+    # 16-30), so n_minhash functions cost n/2 short-input md5s instead
+    # of n full-token md5s — all reproducible in DuckDB via
+    # substr(md5(...), off, 15)
+    tok = (reps.select("doc_id", F.explode("toks").alias("t"))
+           .select("doc_id", _hash60(F.col("t")).cast("string").alias("t")))
+    half = (n_minhash + 1) // 2
+    hs = [F.md5(F.concat(F.lit(f"g{g}|"), F.col("t"))) for g in range(half)]
     mins = tok.groupBy("doc_id").agg(*[
-        F.min(_hash60(F.concat(F.lit(f"s{i}|"), F.col("t")))).alias(f"mh{i}")
+        F.min(F.conv(F.substring(hs[i // 2], 1 + 15 * (i % 2), 15),
+                     16, 10).cast("long")).alias(f"mh{i}")
         for i in range(n_minhash)])
     bands = []
     for b in range(n_bands):

@@ -553,9 +553,16 @@ def doc_dedup_minhash_lsh(spark, sf_dir):
             .filter(F.col("doc_id") == F.col("rep"))
             .select("doc_id", "toks")
             .cache())
-    tok = reps.select("doc_id", F.explode("toks").alias("t"))
+    # compact tokens to 60-bit ints once, then TWO minhash functions
+    # per md5 (hex chunks 1-15 / 16-30): n/2 short-input md5s instead
+    # of n full-token md5s (mirrors operators/dedup.minhash_lsh_pairs)
+    tok = (reps.select("doc_id", F.explode("toks").alias("t"))
+           .select("doc_id", _hash60(F.col("t")).cast("string").alias("t")))
+    _half_md5 = [F.md5(F.concat(F.lit(f"g{g}|"), F.col("t")))
+                 for g in range((_N_MINHASH + 1) // 2)]
     mins = tok.groupBy("doc_id").agg(*[
-        F.min(_hash60(F.concat(F.lit(f"s{i}|"), F.col("t")))).alias(f"mh{i}")
+        F.min(F.conv(F.substring(_half_md5[i // 2], 1 + 15 * (i % 2), 15),
+                     16, 10).cast("long")).alias(f"mh{i}")
         for i in range(_N_MINHASH)])
     rows_per_band = _N_MINHASH // _N_BANDS
     bands = []
@@ -612,12 +619,17 @@ d AS (
                AS rep
     FROM d0)
   WHERE doc_id = rep),
-tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+tok AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT)
+              AS VARCHAR) AS t
+  FROM (SELECT doc_id, unnest(toks) AS t FROM d)),
 mins AS (
   SELECT doc_id,
          {", ".join(
-             "MIN(CAST(concat('0x', substr(md5('s%d|' || t), 1, 15)) AS UBIGINT))"
-             " AS mh%d" % (i, i) for i in range(_N_MINHASH))}
+             "MIN(CAST(concat('0x', substr(md5('g%d|' || t), %d, 15))"
+             " AS UBIGINT)) AS mh%d" % (i // 2, 1 + 15 * (i % 2), i)
+             for i in range(_N_MINHASH))}
   FROM tok GROUP BY doc_id),
 buckets AS (
   {" UNION ALL ".join(
@@ -671,12 +683,17 @@ _ORACLE_CAPPED_CHAIN = f'''d AS (
                AS rep
     FROM d0)
   WHERE doc_id = rep),
-tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+tok AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT)
+              AS VARCHAR) AS t
+  FROM (SELECT doc_id, unnest(toks) AS t FROM d)),
 mins AS (
   SELECT doc_id,
          {", ".join(
-             "MIN(CAST(concat('0x', substr(md5('s%d|' || t), 1, 15)) AS UBIGINT))"
-             " AS mh%d" % (i, i) for i in range(_N_MINHASH))}
+             "MIN(CAST(concat('0x', substr(md5('g%d|' || t), %d, 15))"
+             " AS UBIGINT)) AS mh%d" % (i // 2, 1 + 15 * (i % 2), i)
+             for i in range(_N_MINHASH))}
   FROM tok GROUP BY doc_id),
 buckets AS (
   {" UNION ALL ".join(

@@ -3075,3 +3075,187 @@ def test_grammar11_matches_reference(oracle, op, case_i):
                 Counter(e["code"] for e in ref.get("events", []))
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+def _rand_doc12(rng: random.Random):
+    """Twelfth grammar: @reverse terms x containers x @nest x scoped
+    contexts — reverse-map merging, reverse @index/@set containers,
+    nest aliases holding reverse/container terms, and reverse inside
+    nested nodes."""
+    ctx: dict = {"@vocab": V, "meta": "@nest"}
+    doc: dict = {"@id": EX + f"n{rng.randrange(3)}"}
+    # a reverse term, sometimes with a container
+    rev_spec: dict = {"@reverse": V + "parent"}
+    if rng.random() < 0.4:
+        rev_spec["@container"] = rng.choice(["@index", "@set"])
+    if rng.random() < 0.3:
+        rev_spec["@type"] = "@id"
+    ctx["kids"] = rev_spec
+    # a forward term with a container, sometimes scoped
+    fwd: dict = {"@id": V + "items"}
+    if rng.random() < 0.5:
+        fwd["@container"] = rng.choice(["@index", "@language", "@set",
+                                        ["@index", "@set"]])
+    if rng.random() < 0.3:
+        fwd["@context"] = {"deep": V + "deep"}
+    ctx["items"] = fwd
+
+    def kid():
+        k: dict = {"@id": EX + f"k{rng.randrange(4)}"}
+        if rng.random() < 0.5:
+            k["items"] = {"i1": f"v{rng.randrange(2)}"} \
+                if fwd.get("@container") == "@index" else "plain"
+        return k
+
+    r = rng.random()
+    if r < 0.4:
+        if rev_spec.get("@container") == "@index":
+            doc["kids"] = {"a": kid(), "b": [kid(), kid()]}
+        else:
+            doc["kids"] = [kid()] if rng.random() < 0.5 else kid()
+    elif r < 0.7:
+        # raw @reverse map, possibly with a container term inside
+        doc["@reverse"] = {"kids2": kid(),
+                           V + "other": {"@id": EX + "o"}} \
+            if rng.random() < 0.5 else {"kids2": [kid(), kid()]}
+        ctx["kids2"] = V + "kids2"
+    # nest holding reverse/container keys
+    if rng.random() < 0.6:
+        nested: dict = {}
+        if rng.random() < 0.6:
+            nested["kids"] = kid()
+        if rng.random() < 0.6:
+            nested["items"] = {"en": "hallo"} \
+                if fwd.get("@container") == "@language" else ["x", "y"]
+        doc["meta"] = nested
+    if rng.random() < 0.4:
+        doc["items"] = {"en": "hello", "de": "hallo"} \
+            if fwd.get("@container") == "@language" else \
+            ({"i0": "a"} if fwd.get("@container") == "@index"
+             else [1, 2])
+    doc["@context"] = ctx
+    return doc
+
+
+GRAMMAR12 = [_rand_doc12(random.Random(130_000 + s)) for s in range(60)]
+
+
+@pytest.mark.parametrize("case_i", range(len(GRAMMAR12)),
+                         ids=[f"g12_{i}" for i in range(len(GRAMMAR12))])
+@pytest.mark.parametrize("op", ["expand", "toRDF", "flatten", "compact"])
+def test_grammar12_matches_reference(oracle, op, case_i):
+    from collections import Counter
+
+    from jsonld_js_spark.kernel import compact as k_compact
+    from jsonld_js_spark.kernel import flatten as k_flat
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    doc = GRAMMAR12[case_i]
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc,
+                          ctx={"@context": doc["@context"]})
+    else:
+        ref = oracle.call(op, doc=doc, collectEvents=True)
+    kopts: dict = {"events": []}
+    try:
+        if op == "expand":
+            mine = k_expand(doc, kopts)
+        elif op == "toRDF":
+            mine = k_trd(doc, {**kopts, "format": "application/n-quads"})
+        elif op == "flatten":
+            mine = k_flat(doc, None, kopts)
+        else:
+            mine = k_compact(doc, doc["@context"], kopts)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True, default=str)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+        if op == "expand":
+            assert Counter(e["code"] for e in kopts["events"]) == \
+                Counter(e["code"] for e in ref.get("events", []))
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+def _rand_doc13(rng: random.Random):
+    """Thirteenth grammar: LIST machinery — @list containers with type/
+    language coercion, nested lists (1.1 list-of-lists), empty lists,
+    lists inside index maps, raw @list objects with @index, scalars
+    mixing types inside one list."""
+    ctx: dict = {"@vocab": V}
+    doc: dict = {"@id": EX + "top"}
+    spec: dict = {"@id": V + "lst", "@container": "@list"}
+    coerce = rng.choice([None, "@id", "http://www.w3.org/2001/XMLSchema#integer"])
+    if coerce:
+        spec["@type"] = coerce
+    elif rng.random() < 0.4:
+        spec["@language"] = "en"
+    ctx["lst"] = spec
+    if rng.random() < 0.5:
+        ctx["lol"] = {"@id": V + "lol", "@container": ["@list", "@set"]}
+    if rng.random() < 0.4:
+        ctx["ilst"] = {"@id": V + "ilst", "@container": "@index"}
+
+    def items():
+        pool = ["a", 1, True, 2.5, {"@id": EX + "r"}, None,
+                {"@value": "tv", "@type": V + "DT"}]
+        return [rng.choice(pool) for _ in range(rng.randrange(0, 4))]
+
+    r = rng.random()
+    if r < 0.5:
+        doc["lst"] = items()
+    elif r < 0.7:
+        doc["lst"] = [items(), items()]  # nested (1.1 list of lists)
+    else:
+        doc["lst"] = rng.choice(["solo", 7, {"@id": EX + "one"}])
+    if "lol" in ctx and rng.random() < 0.7:
+        doc["lol"] = [items()] if rng.random() < 0.5 else items()
+    if "ilst" in ctx and rng.random() < 0.7:
+        doc["ilst"] = {"i0": {"@list": items()},
+                       "i1": items()}
+    if rng.random() < 0.4:
+        doc[V + "raw"] = {"@list": items(), "@index": "ridx"}
+    if rng.random() < 0.3:
+        doc[V + "rawnest"] = {"@list": [{"@list": ["x"]}, "y"]}
+    doc["@context"] = ctx
+    return doc
+
+
+GRAMMAR13 = [_rand_doc13(random.Random(140_000 + s)) for s in range(60)]
+
+
+@pytest.mark.parametrize("case_i", range(len(GRAMMAR13)),
+                         ids=[f"g13_{i}" for i in range(len(GRAMMAR13))])
+@pytest.mark.parametrize("op", ["expand", "toRDF", "flatten", "compact"])
+def test_grammar13_matches_reference(oracle, op, case_i):
+    from collections import Counter
+
+    from jsonld_js_spark.kernel import compact as k_compact
+    from jsonld_js_spark.kernel import flatten as k_flat
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    doc = GRAMMAR13[case_i]
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc,
+                          ctx={"@context": doc["@context"]})
+    else:
+        ref = oracle.call(op, doc=doc, collectEvents=True)
+    kopts: dict = {"events": []}
+    try:
+        if op == "expand":
+            mine = k_expand(doc, kopts)
+        elif op == "toRDF":
+            mine = k_trd(doc, {**kopts, "format": "application/n-quads"})
+        elif op == "flatten":
+            mine = k_flat(doc, None, kopts)
+        else:
+            mine = k_compact(doc, doc["@context"], kopts)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True, default=str)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+        if op == "expand":
+            assert Counter(e["code"] for e in kopts["events"]) == \
+                Counter(e["code"] for e in ref.get("events", []))
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
