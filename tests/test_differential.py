@@ -3259,3 +3259,68 @@ def test_grammar13_matches_reference(oracle, op, case_i):
                 Counter(e["code"] for e in ref.get("events", []))
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+def _rand_opts14(rng: random.Random, op: str):
+    """Random API-option sets: the option interplay axis the doc
+    grammars never vary."""
+    opts: dict = {}
+    if rng.random() < 0.4:
+        opts["base"] = rng.choice(["http://opt-base.org/dir/",
+                                   "http://opt-base.org/dir/file", ""])
+    if rng.random() < 0.25:
+        opts["processingMode"] = "json-ld-1.0"
+    if op == "expand" and rng.random() < 0.3:
+        opts["expandContext"] = {"@context": {"ec": V + "ec"}} \
+            if rng.random() < 0.5 else {"ec": V + "ec"}
+    if op == "compact":
+        if rng.random() < 0.5:
+            opts["compactArrays"] = rng.random() < 0.5
+        if rng.random() < 0.4:
+            opts["graph"] = rng.random() < 0.5
+    if op == "toRDF":
+        if rng.random() < 0.3:
+            opts["produceGeneralizedRdf"] = rng.random() < 0.5
+        if rng.random() < 0.3:
+            opts["rdfDirection"] = "i18n-datatype"
+    return opts
+
+
+OPTS14 = [(i % len(GRAMMAR5), op,
+           _rand_opts14(random.Random(150_000 + i), op))
+          for i, op in enumerate(
+              op for _ in range(20)
+              for op in ("expand", "toRDF", "flatten", "compact"))]
+
+
+@pytest.mark.parametrize("case_i", range(len(OPTS14)),
+                         ids=[f"g14_{i}" for i in range(len(OPTS14))])
+def test_option_combination_fuzz_matches_reference(oracle, case_i):
+    doc_i, op, opts = OPTS14[case_i]
+    doc = GRAMMAR5[doc_i]
+    from jsonld_js_spark.kernel import compact as k_compact
+    from jsonld_js_spark.kernel import flatten as k_flat
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc,
+                          ctx={"@context": doc["@context"]}, options=opts)
+    else:
+        ref = oracle.call(op, doc=doc, options=opts)
+    kopts = dict(opts)
+    try:
+        if op == "expand":
+            mine = k_expand(doc, kopts)
+        elif op == "toRDF":
+            mine = k_trd(doc, {**kopts, "format": "application/n-quads"})
+        elif op == "flatten":
+            mine = k_flat(doc, None, kopts)
+        else:
+            mine = k_compact(doc, doc["@context"], kopts)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"opts={opts}\nmine={json.dumps(mine, sort_keys=True, default=str)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], \
+            f"we errored ({e}) but reference ok: {ref} opts={opts}"
