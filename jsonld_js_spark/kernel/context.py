@@ -51,13 +51,20 @@ def _clone_ctx(ctx: dict) -> dict:
     out.pop("_inverse", None)
     out["_fp"] = _fresh_fp()
     # Reference quirk replicated: _cloneActiveContext copies @base,
-    # @language and @vocab but NOT @direction (lib/context.js:1222-1243)
-    # — the default base direction is silently dropped whenever any
-    # local context is processed, INCLUDING from the stored
+    # @language and @vocab but NOT @direction — NOR processingMode
+    # (lib/context.js:1418-1439): every clone (per-layer, pre-loop
+    # propagate, null reset, previousContext recursion) ERASES the
+    # processing mode; the layer body re-inherits it from the
+    # pre-layer context (lib/context.js:190-192), but the pre-loop and
+    # null-reset clones have nothing to restore from, so a 1.0 run
+    # SILENTLY LOSES its mode — and every later 1.0 gate in the call
+    # is disabled. Found by the grammar-10 mode-1.0 sweep; verified.
+    # Likewise the default base direction is silently dropped whenever
+    # any local context is processed, INCLUDING from the stored
     # previousContext (the clone recurses into it), so a later revert
-    # restores a direction-stripped context. Verified against the
-    # reference (tests/test_differential.py grammar-4).
+    # restores a direction-stripped context (grammar-4 differential).
     out["@direction"] = None
+    out["processingMode"] = None
     if out.get("previousContext"):
         out["previousContext"] = _clone_ctx(out["previousContext"])
     return out
@@ -384,6 +391,10 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                     "invalid context nullification")
             prev = rval
             rval = initial_context(options)
+            # the reference clones the initial context here and the
+            # clone ERASES processingMode — layers after a null reset
+            # run mode-less, so 1.0 gates stop firing (verified)
+            rval["processingMode"] = None
             rval["@base"] = prev.get("original_base")
             rval["original_base"] = prev.get("original_base")
             # Reference quirk: the null-reset DISCARDS any pending
@@ -399,7 +410,7 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
             # cycle + count guards, lib/ContextResolver.js:18,131-160:
             # MAX_CONTEXT_URLS=10 per resolve op; the error code depends
             # on processing mode exactly as in the reference
-            _mode10 = options.get("processingMode") == "json-ld-1.0"
+            _mode10 = rval.get("processingMode") == "json-ld-1.0"
             url = prepend_base(rval.get("@base"), ctx)
             if len(_remote_seen) > 10:
                 raise syntax_error(
@@ -461,6 +472,11 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                 raise syntax_error("@context must be an object.",
                                    "invalid local context")
 
+        # the reference's per-layer mode checks read the PRE-LAYER
+        # active context's mode (its `activeCtx` loop variable); the
+        # clone below erases rval's mode and the restore re-inherits
+        # this value (lib/context.js:190-192)
+        active_mode = rval.get("processingMode")
         rval = _clone_ctx(rval)
         # @import resolves against the base in force BEFORE this
         # layer's own @base applies (the branch order moved @import
@@ -471,17 +487,19 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
             v = ctx["@version"]
             if v != 1.1:
                 raise syntax_error(f"Unsupported JSON-LD version: {v}", "invalid @version value")
-            if options.get("processingMode") == "json-ld-1.0":
+            if active_mode == "json-ld-1.0":
                 raise JsonLdError("@version not compatible with json-ld-1.0",
                                   "jsonld.UnsupportedVersion", code="processing mode conflict")
             rval["processingMode"] = "json-ld-1.1"
+        if not rval.get("processingMode"):
+            rval["processingMode"] = active_mode
 
         if "@propagate" in ctx:
             # error checking ONLY — the value was already extracted from
             # the first resolved layer pre-loop; later layers' values
             # are validated but never applied (lib/context.js:309-326)
             p = ctx["@propagate"]
-            if options.get("processingMode") == "json-ld-1.0":
+            if active_mode == "json-ld-1.0":
                 raise syntax_error(
                     "@propagate not compatible with json-ld-1.0",
                     "invalid context entry")
@@ -536,7 +554,7 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
 
         if "@direction" in ctx:
             d = ctx["@direction"]
-            if active_ctx.get("processingMode") == "json-ld-1.0":
+            if active_mode == "json-ld-1.0":
                 raise syntax_error(
                     "@direction not compatible with json-ld-1.0",
                     "invalid context member")
@@ -556,7 +574,7 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
 
         if "@import" in ctx:
             imp = ctx["@import"]
-            if active_ctx.get("processingMode") == "json-ld-1.0":
+            if active_mode == "json-ld-1.0":
                 raise syntax_error(
                     "@import not compatible with json-ld-1.0",
                     "invalid context entry")

@@ -3324,3 +3324,25 @@ def test_option_combination_fuzz_matches_reference(oracle, case_i):
     except JsonLdError as e:
         assert not ref["ok"], \
             f"we errored ({e}) but reference ok: {ref} opts={opts}"
+
+
+@pytest.mark.parametrize("gi", range(60))
+@pytest.mark.parametrize("wave", ["g10", "g11", "g12", "g13"])
+def test_mode10_sweep_over_new_grammars(oracle, wave, gi):
+    """The round-4 grammars re-run under json-ld-1.0: propagate
+    placement, container maps, reverse/nest and list machinery all
+    cross different 1.0 gates (@propagate/@nest/@prefix rejections,
+    array-@container rejection, scoped-context rejection) — same
+    ok/error verdict as the reference required."""
+    doc = {"g10": GRAMMAR10, "g11": GRAMMAR11,
+           "g12": GRAMMAR12, "g13": GRAMMAR13}[wave][gi]
+    opts = {"processingMode": "json-ld-1.0"}
+    ref = oracle.call("expand", doc=doc, options=opts)
+    try:
+        mine = k_expand(doc, dict(opts))
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True, default=str)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
