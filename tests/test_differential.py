@@ -3346,3 +3346,56 @@ def test_mode10_sweep_over_new_grammars(oracle, wave, gi):
             f"ref ={json.dumps(ref['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
+
+
+MODE_ERASURE_CASES = [
+    # plain 1.0: @included dropped as unknown keyword / scoped ctx errors
+    ("included-plain", {"@context": {"@vocab": V}, "@id": EX + "a",
+                        "@included": [{"@id": EX + "b", "p": "x"}]}),
+    # after a null reset the clone ERASED the mode: @included activates
+    ("included-after-null", {"@context": [{"@vocab": V}, None,
+                                          {"@vocab": V}], "@id": EX + "a",
+                             "@included": [{"@id": EX + "b", "p": "x"}]}),
+    ("scoped-plain", {"@context": {"@vocab": V,
+                                   "b1": {"@id": V + "b1",
+                                          "@context": {"q": V + "q"}}},
+                      "b1": {"q": "x"}}),
+    ("scoped-after-null", {"@context": [{"@vocab": V}, None,
+                                        {"@vocab": V,
+                                         "b2": {"@id": V + "b2",
+                                                "@context": {"q2": V + "q2"}}}],
+                           "b2": {"q2": "x"}}),
+    # the pre-loop propagate:false clone erases the mode for the SAME
+    # context's own layers
+    ("scoped-propfalse", {"@context": [{"@propagate": False, "@vocab": V,
+                                        "b3": {"@id": V + "b3",
+                                               "@context": {"q3": V + "q3"}}}],
+                          "b3": {"q3": "x"}}),
+    ("version-after-null", {"@context": [{"@vocab": V}, None,
+                                         {"@version": 1.1, "@vocab": V,
+                                          "t9": {"@id": V + "t9",
+                                                 "@prefix": True}}],
+                            "t9:x": "v"}),
+    ("nest-plain", {"@context": {"@vocab": V}, "@nest": {"pp": "x"}}),
+    ("nest-after-null", {"@context": [{"@vocab": V}, None, {"@vocab": V}],
+                         "@nest": {"pp": "x"}}),
+]
+
+
+@pytest.mark.parametrize("name,doc", MODE_ERASURE_CASES,
+                         ids=[c[0] for c in MODE_ERASURE_CASES])
+def test_mode_erasure_through_clones_matches_reference(oracle, name, doc):
+    """_cloneActiveContext drops processingMode, so a json-ld-1.0 run
+    loses its mode at any null-reset or pre-loop propagate clone and
+    every later 1.0 gate (@included skip, scoped-context rejection,
+    @version conflict, @nest-as-term) stops firing."""
+    opts = {"processingMode": "json-ld-1.0"}
+    ref = oracle.call("expand", doc=doc, options=opts)
+    try:
+        mine = k_expand(doc, dict(opts))
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
