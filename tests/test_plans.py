@@ -181,3 +181,18 @@ def test_kmeans_lineage_constant_across_iterations(spark):
     for marker in ("Exchange", "HashAggregate", "Scan parquet"):
         assert p6.count(marker) == p2.count(marker), (
             marker, p2.count(marker), p6.count(marker))
+
+
+def test_ngram_minhash_plan_shape(spark):
+    """doc_dedup_ngram_minhash: shingles + minhash signatures are pure
+    JVM column algebra (no Python stages), the bucket self-join is an
+    equi-join (no cartesian), and the verify join carries no broadcast
+    hint (semi-join reduction + AQE decides)."""
+    from jsonld_js_spark.queries import doc_dedup_ngram_minhash
+
+    df = doc_dedup_ngram_minhash(spark, SF)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
