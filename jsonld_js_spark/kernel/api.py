@@ -58,10 +58,26 @@ def _is_url(s) -> bool:
                                    or s.startswith("https://"))
 
 
+def _strip_proto(x):
+    """util.clone (lib/util.js clone) copies plain objects with
+    `rval[key] = clone(...)` — and assigning the "__proto__" key on a
+    JS object sets the PROTOTYPE instead of an own property, so any
+    "__proto__" member anywhere in an input document or context
+    SILENTLY VANISHES during the reference's input clone (no pollution
+    is observable either: key iteration sees own keys only).
+    Replicated at the same boundary. Verified differentially."""
+    if isinstance(x, dict):
+        return {k: _strip_proto(v) for k, v in x.items()
+                if k != "__proto__"}
+    if isinstance(x, list):
+        return [_strip_proto(v) for v in x]
+    return x
+
+
 def _parse_input(doc):
     if isinstance(doc, str):
-        return json.loads(doc)
-    return doc
+        doc = json.loads(doc)
+    return _strip_proto(doc)
 
 
 def get(url: str, options: dict | None = None) -> dict:
@@ -109,6 +125,7 @@ def expand(doc, options: dict | None = None) -> list:
 def compact(doc, ctx, options: dict | None = None):
     """Compact a document under ``ctx``."""
     options = _prepare(options)
+    ctx = _strip_proto(ctx)
     options.setdefault("compactArrays", True)
     if not options.get("compactToRelative", True):
         # lib/jsonld.js:164-166: drop the API base so IRIs stay

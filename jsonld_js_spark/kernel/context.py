@@ -605,6 +605,16 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
             ctx = merged
             defined["@import"] = True
 
+        if "hasOwnProperty" in ctx:
+            # JSON.parse creates an OWN "hasOwnProperty" property that
+            # shadows Object.prototype.hasOwnProperty, so the
+            # reference's localCtx.hasOwnProperty(...) calls
+            # (lib/context.js:377,490,719,1045,1080) throw a TypeError
+            # for ANY context carrying this key once the @import merge
+            # or the term loop runs. Verified differentially.
+            raise JsonLdError("localCtx.hasOwnProperty is not a function",
+                              "TypeError")
+
         # `ctx['@protected'] || false` on the POST-merge context
         # (lib/context.js:395): a falsy @protected leaves the defined
         # flag False, so the term loop's cyclic check throws

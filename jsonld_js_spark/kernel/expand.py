@@ -291,7 +291,8 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
 
         if expanded_property is None or not (
                 isinstance(expanded_property, str) and
-                (":" in expanded_property or is_keyword(expanded_property))):
+                (is_absolute_iri(expanded_property)
+                 or is_keyword(expanded_property))):
             _warn(options, "invalid property",
                   f"Dropping property that did not expand to an IRI/keyword: {key}",
                   property=key)

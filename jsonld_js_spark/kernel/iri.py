@@ -23,9 +23,13 @@ _URI_RE = re.compile(
 )
 
 _ABSOLUTE_RE = re.compile(
-    # scheme ':' then any non-space chars; lenient like the reference's
-    # isAbsolute (lib/url.js:280-291) which accepts IRIs with fragments.
-    r"^[A-Za-z][A-Za-z0-9+.\-]*:[^\s]*$"
+    # the reference's isAbsolute regex VERBATIM (lib/url.js:280):
+    # /^([A-Za-z][A-Za-z0-9+-.]*|_):[^\s]*$/ — note the `|_` branch
+    # (blank-node "_:" ids count as absolute) and that `+-.` inside
+    # the class is a RANGE 0x2B-0x2E, so COMMA is a legal scheme char
+    # ("a,b:x" is "absolute"); schemes like "__proto__" or "1abc"
+    # still fail, which is what drops such properties after expansion.
+    r"^([A-Za-z][A-Za-z0-9+,.\-]*|_):[^\s]*$"
 )
 
 

@@ -3399,3 +3399,56 @@ def test_mode_erasure_through_clones_matches_reference(oracle, name, doc):
             f"ref ={json.dumps(ref['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
+
+
+JS_KEYWORD_CASES = [
+    # JS Object.prototype names as terms: valueOf/toString/constructor
+    # work (Map-backed term storage), but...
+    *[(f"term-{k}", {"@context": {k: f"http://example.org/{k}"}, k: "v"})
+      for k in ("valueOf", "toString", "constructor")],
+    # ...an OWN "hasOwnProperty" key in a context SHADOWS the
+    # prototype method and the reference's localCtx.hasOwnProperty()
+    # calls crash with a TypeError
+    ("term-hasOwnProperty",
+     {"@context": {"hasOwnProperty": "http://example.org/hOP"},
+      "hasOwnProperty": "v"}),
+    ("hop-with-vocab",
+     {"@context": {"@vocab": V, "hasOwnProperty": V + "hOP"}, "x": "v"}),
+    # doc-side hasOwnProperty keys are FINE (internal objects are
+    # jsonld-built, never input-shadowed)
+    ("hop-in-doc", {"@context": {"@vocab": V}, "pp": {"hasOwnProperty": "x"}}),
+    # "__proto__" members VANISH in util.clone (rval[key]= sets the
+    # prototype, not an own property) — terms, doc keys, index keys
+    ("proto-term", {"@context": {"__proto__": "http://example.org/pr"},
+                    "__proto__": "v"}),
+    ("proto-in-ctx-obj", {"@context": {"__proto__": {"px9": V + "px9"},
+                                       "@vocab": V}, "px9": "v", "b": "w"}),
+    ("proto-in-doc", {"@context": {"@vocab": V},
+                      "ppx": {"__proto__": {"@id": "http://x/hidden"},
+                              "q": "z"}}),
+    ("proto-index-key", {"@context": {"@vocab": V,
+                                      "p": {"@container": "@index"}},
+                         "p": {"__proto__": {"a": 1}, "valueOf": "flat"}}),
+    # "__proto__:suf" is NOT an absolute IRI by the reference's regex
+    # (scheme must be [A-Za-z][A-Za-z0-9+,.-]* or exactly "_") -> the
+    # property drops; comma IS a legal scheme char (sloppy range)
+    ("proto-curie", {"@context": {"__proto__": "http://pre.example/"},
+                     "__proto__:suf": "v"}),
+    ("comma-scheme", {"a,b:x": "v", "@id": EX + "a"}),
+    ("digit-scheme", {"1abc:x": "v", "@id": EX + "a"}),
+    ("bare-underscore-scheme", {"@id": EX + "a", "_:p0": "v"}),
+]
+
+
+@pytest.mark.parametrize("name,doc", JS_KEYWORD_CASES,
+                         ids=[c[0] for c in JS_KEYWORD_CASES])
+def test_js_keyword_semantics_match_reference(oracle, name, doc):
+    ref = oracle.call("expand", doc=doc)
+    try:
+        mine = k_expand(doc, {})
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
