@@ -3452,3 +3452,50 @@ def test_js_keyword_semantics_match_reference(oracle, name, doc):
             f"ref ={json.dumps(ref['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+WEIRD_KEYS = [":", ":suffix", "pre:", "a b:c", "http//x", "x:", "-x:y",
+              "+x:y", ".x:y", "x.:y", "@", "@@", "@x y", "ab:cd:ef",
+              " x:y", "x:y ", "\u00e9:y", "_:", "_::", "x:\u0020y",
+              "\u201ex:y"]
+
+
+@pytest.mark.parametrize("k", WEIRD_KEYS,
+                         ids=[f"wk{i}" for i in range(len(WEIRD_KEYS))])
+def test_weird_property_keys_match_reference(oracle, k):
+    """Colon-bearing but scheme-invalid keys, keyword lookalikes,
+    whitespace and unicode — the expansion property-keep gate
+    (verbatim isAbsolute regex) must agree with the reference on every
+    one, including the warning multiset."""
+    from collections import Counter
+
+    doc = {"@id": EX + "a", k: "v"}
+    ref = oracle.call("expand", doc=doc, collectEvents=True)
+    kopts: dict = {"events": []}
+    mine = k_expand(doc, kopts)
+    assert ref["ok"]
+    assert deep_eq(mine, ref["result"]), k
+    assert Counter(e["code"] for e in kopts["events"]) == \
+        Counter(e["code"] for e in ref.get("events", []))
+
+
+@pytest.mark.parametrize("gi", range(0, 60, 2))
+@pytest.mark.parametrize("wave", ["g11", "g13"])
+def test_rdfdirection_sweep_over_grammars(oracle, wave, gi):
+    """Container/list grammar docs serialized with
+    rdfDirection=i18n-datatype: direction handling must agree inside
+    maps and lists, not just at top level."""
+    doc = {"g11": GRAMMAR11, "g13": GRAMMAR13}[wave][gi]
+    doc = {**doc, "@context": {**doc["@context"], "@language": "en",
+                               "@direction": "rtl"}}
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    opts = {"rdfDirection": "i18n-datatype"}
+    ref = oracle.call("toRDF", doc=doc, options=opts)
+    try:
+        mine = k_trd(doc, {**opts, "format": "application/n-quads"})
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert sorted(mine.splitlines()) == \
+            sorted(ref["result"].splitlines())
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
