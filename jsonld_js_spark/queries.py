@@ -1664,6 +1664,44 @@ def kg_full_build(spark, sf_dir):
 # Registry
 # =====================================================================
 
+def mm_decode_features(spark, sf_dir):
+    """REAL media decoding end-to-end (SURVEY multimodal): synthesize
+    genuine PNG/WAV payloads per doc_id (operators/multimodal.
+    synthesize_media_payloads), run them through the stdlib decoders
+    in ONE Arrow mapInPandas stage (extract_media_features), and
+    return exact integer features. Every output value is pure
+    arithmetic on doc_id, so the DuckDB oracle independently verifies
+    that width/height/pixel sums and sample-rate/amplitude sums came
+    out of actual PNG inflation + WAV PCM parsing."""
+    from .operators.multimodal import (
+        extract_media_features, synthesize_media_payloads)
+
+    d = (load(spark, sf_dir, "documents").select("doc_id")
+         .filter(F.col("doc_id") < 300))
+    media = synthesize_media_payloads(d)
+    return extract_media_features(media)
+
+
+ORACLE_MM_DECODE = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 16 END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN 8 + (3 * doc_id) % 16 END AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 1 END AS channels,
+       CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 3) * 4000 END
+           AS sample_rate,
+       CASE WHEN doc_id % 2 = 1 THEN 64 + doc_id % 32 END AS n_samples,
+       CASE WHEN doc_id % 2 = 0
+            THEN (8 + doc_id % 16) * (8 + (3 * doc_id) % 16) * (doc_id % 256)
+            ELSE (64 + doc_id % 32) * (1 + doc_id % 1000) END AS value_sum,
+       CASE WHEN doc_id % 2 = 0
+            THEN (8 + doc_id % 16) * (8 + (3 * doc_id) % 16)
+            ELSE 64 + doc_id % 32 END AS n_values
+FROM d
+"""
+
+
 QUERIES = {
     "q_agg_pricing_summary": (q_agg_pricing_summary, ORACLE_Q_AGG),
     "q_join_broadcast_region_sales": (q_join_broadcast_region_sales,
@@ -1711,4 +1749,5 @@ QUERIES = {
     "emb_centroid_norm": (emb_centroid_norm, ORACLE_EMB_CENTROID),
     "emb_kmeans_cells": (emb_kmeans_cells, ORACLE_EMB_KMEANS),
     "mm_binary_meta": (mm_binary_meta, ORACLE_MM_META),
+    "mm_decode_features": (mm_decode_features, ORACLE_MM_DECODE),
 }
