@@ -408,3 +408,47 @@ def test_poison_vector_forced_output_at_unbounded():
         variant = _relabel(nq, {a: f"_:{b}" for a, b in zip(labels, perm)})
         assert canonize(parse(variant),
                         max_work_factor=float("inf")) == expected
+
+
+# ---------------------------------------------------------------------
+# Property-based sweep: random bnode digraphs, kernel vs the
+# independent from-spec implementation (plus relabeling invariance)
+# ---------------------------------------------------------------------
+
+def _random_graph_nq(rng) -> str:
+    """Random blank-node digraph: 4-6 nodes, random edge set over 1-2
+    predicates, optional self-loops and literal attachments — the
+    shapes that drive hashNDegreeQuads into its permutation path."""
+    n = rng.randrange(4, 7)
+    preds = [f"{EX}p{k}" for k in range(rng.randrange(1, 3))]
+    lines = []
+    for i in range(n):
+        for j in range(n):
+            if i == j and rng.random() < 0.15:
+                lines.append(f"_:n{i} <{rng.choice(preds)}> _:n{i} .\n")
+            elif i != j and rng.random() < 0.35:
+                lines.append(f"_:n{i} <{rng.choice(preds)}> _:n{j} .\n")
+        if rng.random() < 0.3:
+            lines.append(f'_:n{i} <{EX}lab> "L{rng.randrange(2)}" .\n')
+    if not lines:
+        lines.append(f"_:n0 <{preds[0]}> _:n1 .\n")
+    return "".join(lines)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_graphs_kernel_equals_spec_rederivation(seed):
+    import random as _random
+
+    rng = _random.Random(160_000 + seed)
+    nq = _random_graph_nq(rng)
+    labels = sorted(set(re.findall(r"_:([A-Za-z0-9]+)", nq)))
+    quads = parse(nq)
+    base = canonize(quads, max_work_factor=float("inf"))
+    assert base == _spec_canonize(quads), nq
+    # relabeling invariance on a permutation sample
+    for _ in range(3):
+        perm = list(labels)
+        rng.shuffle(perm)
+        variant = _relabel(nq, {a: f"_:{b}" for a, b in zip(labels, perm)})
+        assert canonize(parse(variant),
+                        max_work_factor=float("inf")) == base, nq
