@@ -800,11 +800,26 @@ SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node
 """
 
 
+def load_docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table spread across the session's shuffle partitions.
+
+    TEST-DATA PLUMBING, not an engine strategy: the sf* corpora are
+    ONE parquet file = one input split, so a narrow per-row-heavy
+    query (gram hashing, BPE regex, simhash) would serialize on a
+    single core here. Real 100 TB inputs arrive as thousands of
+    splits and need no repartition — same reasoning as the embeddings
+    queries' documented spread. The partition count is EXPLICIT so AQE
+    does not coalesce the small test corpus back into one partition
+    (which would re-serialize the compute)."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return load(spark, sf_dir, "documents").repartition(n, "doc_id")
+
+
 def doc_simhash(spark, sf_dir):
     """32-bit SimHash per document from token md5 bits (sum of ±1 per
     bit position over tokens, sign -> bit). Pure column algebra — no
     UDF. SQL oracle builds the identical signature."""
-    d = (load(spark, sf_dir, "documents")
+    d = (load_docs_wide(spark, sf_dir)
          .select("doc_id", _tokens(F.col("text")).alias("toks"))
          .filter(F.size("toks") > 0))
     tok = (d.select("doc_id", F.explode("toks").alias("t"))
@@ -846,7 +861,7 @@ SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits
 def doc_text_stats(spark, sf_dir):
     """Language-ID heuristic + quality scoring + token counting per
     source (the text-analysis battery, all JVM-side column functions)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_docs_wide(spark, sf_dir)
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     n_tok = F.size(toks)
     n_chars = F.length("text")
@@ -888,7 +903,7 @@ def doc_fingerprint(spark, sf_dir):
     length(text) rows per document into a groupBy (a corpus-sized
     shuffle at 100 TB). Per-row arrays are bounded by document length;
     for multi-MB documents switch back to the streaming explode."""
-    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    d = load_docs_wide(spark, sf_dir).filter(F.length("text") >= 8)
     grams = F.transform(
         F.sequence(F.lit(1), F.length("text") - 7),
         lambda i: F.col("text").substr(i, F.lit(8)))
@@ -1334,7 +1349,7 @@ def doc_bpe_tokens(spark, sf_dir):
     digit shapes). Reports regex-token vs whitespace-token counts and
     chars-per-token per document — the budget arithmetic a training
     pipeline runs before packing."""
-    d = load(spark, sf_dir, "documents")
+    d = load_docs_wide(spark, sf_dir)
     pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0)
     non_ws = F.filter(pieces, lambda p: F.trim(p) != "")
     ws_toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
@@ -1377,7 +1392,7 @@ def doc_lang_id(spark, sf_dir):
     NOTE: the synthetic corpus text is English-vocabulary word salad
     under ALL lang labels, so predictions skew 'en'/'und' by design;
     the operator itself is corpus-independent."""
-    d = load(spark, sf_dir, "documents")
+    d = load_docs_wide(spark, sf_dir)
     toks = F.filter(F.split(F.lower(F.col("text")), " "),
                     lambda x: x != "")
     def _score(words):
