@@ -99,19 +99,24 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    heavy_box: dict[str, dict] = {}
     for name, (fn, _sql) in QUERIES.items():
         if name in skip:
             continue
         walls = [run_once(fn)]
         if walls[0] > 3.0:
             # heavy queries swing 2-3x run-to-run on this box: report
-            # the median of 3 so round-over-round deltas are signal
+            # the median of 3 so round-over-round deltas are signal,
+            # and snapshot box load so regressions are adjudicable
+            # from the artifact alone (BENCH_r04's dedup medians were
+            # not)
+            heavy_box[name] = _box_state()
             walls += [run_once(fn) for _ in range(2)]
             spread[name] = [round(min(walls), 3), round(max(walls), 3)]
         walls.sort()
         per_query[name] = round(walls[len(walls) // 2], 3)
 
-    print(json.dumps({
+    record = {
         "metric": "kg_extract_triples_per_sec",
         "value": round(triples_per_sec, 1),
         "unit": "sec",
@@ -126,9 +131,26 @@ def main() -> None:
                                     round(max(headline_walls), 3)],
             "heavy_query_spread_min_max": spread,
             "box_state_per_headline_run": headline_box,
+            "box_state_per_heavy_query": heavy_box,
             "box_state_end": _box_state(),
         },
-    }))
+    }
+    # Full record (with per-run telemetry) goes to a file; the driver
+    # captures only the TAIL of stdout, and the r4 artifact lost the
+    # headline because the one giant line overflowed that capture.
+    # The final printed line is COMPACT (headline + per-query medians
+    # only) so the driver's tail always parses.
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/last_run.json", "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
+    compact = {k: record[k] for k in
+               ("metric", "value", "unit", "queries", "sf")}
+    compact["detail_file"] = "BENCH/last_run.json"
+    print(json.dumps(compact))
     spark.stop()
 
 

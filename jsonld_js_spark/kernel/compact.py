@@ -95,6 +95,50 @@ def create_inverse_context(active_ctx: dict) -> dict:
     return inverse
 
 
+def _array_trie_partial_match(active_ctx, arr) -> bool:
+    """Simulate the reference's fastCurieMap partial-match walk with an
+    ARRAY in iri position (lib/compact.js:874-884). The trie is built
+    from the FIRST-SEEN @id of every colon-free, non-keyword term in
+    shortest-least term order (lib/context.js:1258-1298; note the
+    `_prefix` flag is checked only LATER, in the curie loop — so
+    non-prefix colon-free terms still populate the trie). Walk keys
+    are single JS chars, so only a run of single-char elements
+    descends; a node with a terminal ('' key, iri length == depth)
+    pushes a partial match, and the reference's curie construction
+    then calls Array.substr — a TypeError — before the `_prefix`
+    check can reject it. The walk stops at `len(arr) - 1` steps
+    (maxPartialLength). Exotic element values that would index the
+    terminal LIST itself (JS '' / '0' / 'iri' keys) are not modeled —
+    they require an element that is not a plausible @type string and
+    lead the reference into its own `in`-on-primitive TypeErrors."""
+    candidates = []
+    seen: set = set()
+    for term in sorted(active_ctx["mappings"].keys(), key=_shortest_least):
+        m = active_ctx["mappings"][term]
+        if not m:
+            continue
+        mid = m.get("@id")
+        if mid is None:
+            continue
+        for one in (mid if isinstance(mid, list) else [mid]):
+            if not isinstance(one, str) or one in seen:
+                continue
+            seen.add(one)
+            if not is_keyword(one) and not term.find(":") > 0:
+                candidates.append(one)
+    match = False
+    for i in range(len(arr) - 1):
+        e = arr[i]
+        if not (isinstance(e, str) and len(e) == 1):
+            break
+        candidates = [c for c in candidates if len(c) > i and c[i] == e]
+        if not candidates:
+            break
+        if any(len(c) == i + 1 for c in candidates):
+            match = True
+    return match
+
+
 def _select_term(active_ctx, iri, value, containers, type_or_language,
                  type_or_language_value):
     """Term Selection (lib/compact.js:1085-1145)."""
@@ -277,13 +321,17 @@ def compact_iri(active_ctx, iri, *, value=None, vocab: bool = False,
         # array reaches unguarded (lib/compact.js:830-930):
         # - @vocab prefix test: Array.indexOf(vocab)===0 means the
         #   FIRST ELEMENT equals @vocab, then Array.substr throws
-        # - the CURIE partial walk indexes whole elements into the
-        #   per-char trie (no-op for IRI-shaped elements)
+        # - the CURIE partial walk (lib/compact.js:876-884) indexes
+        #   whole elements into the per-char fastCurieMap trie: a run
+        #   of SINGLE-CHAR elements can walk to a partial match, and
+        #   the curie construction then throws Array.substr
         # - the prefix-confusion loop calls Array.startsWith — a
         #   TypeError whenever ANY prefix-capable term is defined
         # - only a prefix-free context passes the array through
         if vocab and active_ctx.get("@vocab") is not None and iri \
                 and iri[0] == active_ctx["@vocab"]:
+            raise JsonLdError("iri.substr is not a function", "TypeError")
+        if _array_trie_partial_match(active_ctx, iri):
             raise JsonLdError("iri.substr is not a function", "TypeError")
         if any(m and m.get("_prefix")
                for m in active_ctx["mappings"].values()):

@@ -13,6 +13,7 @@ dictionary lookups (`expand_iri`) inside Arrow batches.
 from __future__ import annotations
 
 import copy
+import re as _re
 
 from .constants import KEYWORDS, is_keyword, looks_like_keyword
 from .errors import JsonLdError, syntax_error
@@ -191,33 +192,71 @@ def _fresh_fp() -> str:
     return f"!{_FP_COUNTER[0]}"
 
 
+_PEEK_SKIP = object()  # an entry that flattens to ZERO layers
+
+
 def _peek_first_resolved(ctxs, options, base, _depth=0):
     """What ``resolved[0].document`` would be after the reference's
     upfront URL resolution + flattening (lib/ContextResolver.js): the
     reference reads ``@propagate`` off the FIRST resolved layer only
-    (lib/context.js:94-98). This impl resolves URLs lazily inside the
-    layer loop, so peek: follow a leading URL through the static
-    ``context_loader`` table (side-effect free — no events, no cycle
-    counting). A callable document_loader is NOT invoked here; the
-    in-loop recursion extracts at layer 0 instead. Returns a dict or
-    None (None == no override)."""
+    (lib/context.js:94-98, guarded by _isObject). Entries resolve
+    element-wise and SPREAD (``allResolved.push(...resolved)``,
+    lib/ContextResolver.js:51-56), so an entry flattening to zero
+    layers (remote ``@context: []``) contributes nothing and the
+    propagate read falls through to the NEXT entry. This impl resolves
+    URLs lazily inside the layer loop, so peek: follow URLs through
+    the static ``context_loader`` table via the same extraction the
+    real resolution uses (side-effect free — no events, no cycle
+    counting; errors defer to the layer loop). A callable
+    document_loader is NOT invoked here; the in-loop recursion
+    extracts at layer 0 instead. Returns a dict or None (None == no
+    override)."""
+    entries = ctxs if isinstance(ctxs, list) else [ctxs]
+    for entry in entries:
+        layer = _peek_entry_first_layer(entry, options, base, _depth)
+        if layer is _PEEK_SKIP:
+            continue
+        return layer if isinstance(layer, dict) else None
+    return None
+
+
+def _peek_entry_first_layer(entry, options, base, _depth):
+    """First flattened layer of ONE context entry, or _PEEK_SKIP if
+    the entry resolves to zero layers, or None if it can't be peeked
+    statically (callable loader, nested-array error case — the layer
+    loop raises the real error later)."""
     if _depth > 10:
         return None
-    ctx = ctxs
-    while isinstance(ctx, list):
-        if not ctx:
-            return None
-        ctx = ctx[0]
-    if isinstance(ctx, str):
+    if isinstance(entry, str):
         loader = options.get("context_loader") or {}
-        url = prepend_base(base, ctx)
+        url = prepend_base(base, entry)
         doc = loader.get(url)
-        if isinstance(doc, dict) and "@context" in doc:
-            doc = doc["@context"]
         if doc is None:
             return None
-        return _peek_first_resolved(doc, options, url, _depth + 1)
-    return ctx if isinstance(ctx, dict) else None
+        try:
+            # same extraction as _resolve_context_url: parses string
+            # bodies, no-@context-key -> {} (so a spurious @propagate
+            # in the remote BODY is never read), falsy @context stays
+            # wrapped (dict layer, no boolean @propagate)
+            doc = _extract_remote_context(doc, url)
+        except JsonLdError:
+            return None
+        if isinstance(doc, list):
+            for sub in doc:
+                layer = _peek_entry_first_layer(sub, options, url,
+                                                _depth + 1)
+                if layer is _PEEK_SKIP:
+                    continue
+                return layer
+            return _PEEK_SKIP
+        if isinstance(doc, str):
+            return _peek_entry_first_layer(doc, options, url, _depth + 1)
+        return doc
+    if isinstance(entry, list):
+        # a nested array entry is !_isObject -> 'invalid local
+        # context' in the reference before @propagate could matter
+        return None
+    return entry
 
 
 def _resolve_import_layers(ctx, options, base=None, _depth=0,
@@ -754,6 +793,19 @@ def create_term_definition(active_ctx: dict, local_ctx: dict, term: str, defined
             iri = expand_iri(active_ctx, vid, vocab=True, local_ctx=local_ctx, defined=defined, options=options)
             if not (is_keyword(iri) or is_absolute_iri(iri) or iri.startswith("_:")):
                 raise syntax_error(f"@id must expand to an IRI/keyword/bnode: {iri}", "invalid IRI mapping")
+            if _re.search(r":[^:]|/", term):
+                # a term that LOOKS like an IRI must expand (as an IRI,
+                # against a defined-map where it counts as defined) to
+                # its own @id (lib/context.js:692-705)
+                term_defined = dict(defined)
+                term_defined[term] = True
+                term_iri = expand_iri(active_ctx, term, vocab=True,
+                                      local_ctx=local_ctx,
+                                      defined=term_defined, options=options)
+                if term_iri != iri:
+                    raise syntax_error(
+                        "term in form of IRI must expand to definition.",
+                        "invalid IRI mapping")
             if iri == "@context":
                 raise syntax_error("@id cannot equal @context.", "invalid keyword alias")
             mapping["@id"] = iri
@@ -947,8 +999,12 @@ def expand_iri(active_ctx: dict, value, *, base: bool = False, vocab: bool = Fal
 
     if vocab:
         m = active_ctx["mappings"].get(value)
-        if m is not None:
-            return m.get("@id")
+        # '@id' in mapping (lib/context.js:1061): a mapping MID-
+        # DEFINITION (registered early, no @id yet — reachable via the
+        # IRI-form-term self-expansion check) falls through to the
+        # prefix/vocab logic instead of resolving to null
+        if m is not None and "@id" in m:
+            return m["@id"]
 
     colon = value.find(":", 1)
     if colon > 0:

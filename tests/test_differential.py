@@ -2382,6 +2382,40 @@ def _propagate_cases():
              [{"a": "$A"}, {"@propagate": False, "b": "$B"}]}})
     # 13: mixed first false / second true -> false wins (first only)
     mk(13, [{"@propagate": False, "a": "$A"}, {"@propagate": True, "b": "$B"}])
+    # 16: FIRST entry resolves to ZERO layers (remote @context: []) ->
+    # ContextResolver's spread skips it and resolved[0] is the SECOND
+    # entry, whose @propagate:false DOES apply (r5 ADVICE #1)
+    mk(16, ["http://r$I.example/empty", {"@propagate": False, "a": "$A",
+                                         "b": "$B"}],
+       docs={"http://r$I.example/empty": {"@context": []}})
+    # 17: zero-layer CHAIN (url -> url -> []) then @propagate:false
+    mk(17, ["http://r$I.example/chain", {"@propagate": False, "a": "$A",
+                                         "b": "$B"}],
+       docs={"http://r$I.example/chain":
+             {"@context": "http://r$I.example/empty2"},
+             "http://r$I.example/empty2": {"@context": []}})
+    # 18: zero-layer first entry then @propagate:TRUE (explicit no-op)
+    # then a later false -> stays propagating
+    mk(18, ["http://r$I.example/empty", {"@propagate": True, "a": "$A"},
+            {"@propagate": False, "b": "$B"}],
+       docs={"http://r$I.example/empty": {"@context": []}})
+    # 19: loader document stored as a JSON STRING body carrying
+    # @propagate:false (r5 ADVICE #2: string docs must be parsed, not
+    # treated as another context URL)
+    mk(19, ["http://r$I.example/strdoc", {"b": "$B"}],
+       docs={"http://r$I.example/strdoc":
+             '{"@context": {"@propagate": false, "a": "$A"}}'})
+    # 20: remote body with @propagate but NO @context key -> extraction
+    # yields the EMPTY context; the body's @propagate is never read
+    mk(20, ["http://r$I.example/body", {"a": "$A", "b": "$B"}],
+       docs={"http://r$I.example/body": {"@propagate": False}})
+    # 21: remote ARRAY whose first element is a zero-layer URL and
+    # second carries @propagate:false -> flattened, false applies
+    mk(21, ["http://r$I.example/arr"],
+       docs={"http://r$I.example/arr": {"@context":
+             ["http://r$I.example/empty3",
+              {"@propagate": False, "a": "$A", "b": "$B"}]},
+             "http://r$I.example/empty3": {"@context": []}})
     # 14: type-scoped context with @propagate:true in its FIRST layer
     # overrides the type-scoped default (propagate:false)
     for i, tctx in ((14, {"@propagate": True, "a": "$A", "b": "$B"}),
@@ -2490,6 +2524,103 @@ def test_array_type_compaction_matches_reference(oracle, ctx_i):
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
         assert ref.get("message") == e.message, (
+            f"mine={e.message!r} ref={ref.get('message')!r}")
+
+
+TRIE_PARTIAL_DOC = [{"http://p/p": [{"@value": "v",
+                                     "@type": ["a", ":", "zzz"]}]}]
+TRIE_PARTIAL_CASES = [
+    # trie iri "a:" (len 2): the single-char elements walk a -> : to
+    # the terminal -> partial match -> Array.substr TypeError
+    # (lib/compact.js:874-884) BEFORE the _prefix check could reject
+    {"q5n": {"@id": "a:"}},
+    # walkable path but NO terminal within maxPartialLength -> the
+    # non-prefix term lets the array pass through
+    {"q5p": {"@id": "a:bcd"}},
+    # first element never in the trie root -> pass-through
+    {"nop": {"@id": "http://x.example/t"}},
+    # partial match AND a _prefix term: substr fires first (the old
+    # kernel raised startsWith here — r5 ADVICE #3)
+    {"q5n": {"@id": "a:"}, "pfx": {"@id": "http://e.example/ns#",
+                                   "@prefix": True}},
+    # colon-ful TERM name is excluded from the trie (_termHasColon)
+    # -> no partial -> but "a:" is _prefix-shaped -> startsWith
+    {"w:x": {"@id": "a:"}},
+]
+
+
+@pytest.mark.parametrize("ctx_i", range(len(TRIE_PARTIAL_CASES)),
+                         ids=[f"tp{i}" for i in range(len(TRIE_PARTIAL_CASES))])
+def test_array_type_trie_partial_match_matches_reference(oracle, ctx_i):
+    """fastCurieMap partial-walk over array ELEMENTS (r5 ADVICE #3):
+    single-char @type elements (reachable only via skipExpansion —
+    expansion validates @type absoluteness) index the per-char trie;
+    a terminal within len-1 steps throws Array.substr in the curie
+    construction, before the startsWith confusion loop."""
+    from jsonld_js_spark.kernel import api
+
+    ctx = TRIE_PARTIAL_CASES[ctx_i]
+    ref = oracle.call("compact", doc=TRIE_PARTIAL_DOC, ctx={"@context": ctx},
+                      options={"skipExpansion": True})
+    try:
+        mine = api.compact(TRIE_PARTIAL_DOC, ctx, {"skipExpansion": True})
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+        ref_msg = (ref.get("message") or "").removeprefix(
+            "Invalid JSON-LD syntax; ")
+        assert ref_msg == e.message, (
+            f"mine={e.message!r} ref={ref.get('message')!r}")
+
+
+IRI_FORM_TERM_CASES = [
+    # slash term, @id mismatching -> 'term in form of IRI must expand
+    # to definition' (lib/context.js:692-705, found missing in r5)
+    ({"foo/bar": "http://e1.example/x"}, {"foo/bar": "v"}),
+    # slash term matching via @vocab: the term's own IN-PROGRESS
+    # mapping has no @id yet, so self-expansion falls through to the
+    # vocab prepend ('@id' in mapping, lib/context.js:1061)
+    ({"@vocab": "http://v2.example/", "foo/bar": "http://v2.example/foo/bar"},
+     {"foo/bar": "v"}),
+    # compact-IRI-form term matching its prefix expansion
+    ({"p3": "http://e3.example/ns#", "p3:x": "http://e3.example/ns#x"},
+     {"p3:x": "v"}),
+    # compact-IRI-form term NOT matching
+    ({"p4": "http://e4.example/ns#", "p4:x": "http://e4.example/other"},
+     {"p4:x": "v"}),
+    # trailing-colon term: the /(?::[^:])|\//  shape regex needs a
+    # char AFTER the colon, so no check applies
+    ({"w5:": "http://e5.example/x"}, {"w5:": "v"}),
+    # double-colon term
+    ({"a6::b": "http://e6.example/x"}, {"a6::b": "v"}),
+    # absolute-IRI term mapping to itself / to something else
+    ({"http://e7.example/t": "http://e7.example/t"}, {"http://e7.example/t": "v"}),
+    ({"http://e8.example/t": "http://e8.example/OTHER"}, {"http://e8.example/t": "v"}),
+]
+
+
+@pytest.mark.parametrize("case_i", range(len(IRI_FORM_TERM_CASES)),
+                         ids=[f"ift{i}" for i in range(len(IRI_FORM_TERM_CASES))])
+def test_iri_form_term_must_expand_to_definition(oracle, case_i):
+    from jsonld_js_spark.kernel import api
+
+    ctx, body = IRI_FORM_TERM_CASES[case_i]
+    doc = {"@context": ctx, **body}
+    ref = oracle.call("expand", doc=doc)
+    try:
+        mine = api.expand(doc, {})
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+        ref_msg = (ref.get("message") or "").removeprefix(
+            "Invalid JSON-LD syntax; ")
+        assert ref_msg == e.message, (
             f"mine={e.message!r} ref={ref.get('message')!r}")
 
 
