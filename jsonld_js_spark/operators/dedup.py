@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .cachereg import release_caches, scoped_cache
+
 
 def _hash60(col):
     """md5-hex-prefix -> 60-bit integer (cross-engine reproducible)."""
@@ -38,6 +40,7 @@ def minhash_lsh_pairs(docs: DataFrame, *, n_minhash: int = 12,
     """(doc1, doc2, jaccard) near-dup pairs + (band, sig, size) capped
     buckets. ``docs`` carries one row per document with a distinct
     token array in ``toks_col``."""
+    release_caches()  # drop the previous pipeline's scoped caches
     rows_per_band = n_minhash // n_bands
     d = docs.select(F.col(id_col).alias("doc_id"),
                     F.col(toks_col).alias("toks")).filter(F.size("toks") > 0)
@@ -46,8 +49,8 @@ def minhash_lsh_pairs(docs: DataFrame, *, n_minhash: int = 12,
     reps = (d.select("doc_id", "toks", shape)
             .withColumn("rep", F.min("doc_id").over(Window.partitionBy("shape")))
             .filter(F.col("doc_id") == F.col("rep"))
-            .select("doc_id", "toks")
-            .cache())
+            .select("doc_id", "toks"))
+    reps = scoped_cache(reps)
 
     # hashing cost dominates the signature build on long tokens
     # (shingles): compact each token to a 60-bit integer ONCE, then
@@ -95,7 +98,7 @@ def minhash_lsh_pairs(docs: DataFrame, *, n_minhash: int = 12,
             "band", "sig", F.col("bsize").alias("size"))
         star = None
         cold = sized
-    cold = cold.select("doc_id", "band", "sig").cache()
+    cold = scoped_cache(cold.select("doc_id", "band", "sig"))
 
     a = cold.alias("a")
     b_ = cold.alias("b")
@@ -146,11 +149,14 @@ def cosine_neardup_pairs(embeddings: DataFrame, *, threshold: float = 0.9,
     dropped_buckets)."""
     from .simsearch import _as_double, _cosine, _plane_coefs, _signatures
 
+    release_caches()  # drop the previous pipeline's scoped caches
+
     # cache the cast corpus: it feeds the signature build AND both
     # verify semi-joins below — uncached, the 64-dot-product signature
     # DAG re-executes for every consumer (mirrors minhash reps caching)
-    e = _as_double(embeddings.select(F.col(id_col).alias("vec_id"),
-                                     F.col(vec_col).alias("v")), "v").cache()
+    e = scoped_cache(
+        _as_double(embeddings.select(F.col(id_col).alias("vec_id"),
+                                     F.col(vec_col).alias("v")), "v"))
     coefs = _plane_coefs(dims, bits, seed)
     sig = _signatures(e, coefs, id_col="vec_id", vec_col="v",
                       bands=bands, bits=bits)
@@ -176,7 +182,7 @@ def cosine_neardup_pairs(embeddings: DataFrame, *, threshold: float = 0.9,
     # self-join (plus the star/dropped branches upstream share sized's
     # lineage) — without this the per-row bit-signature expression tree
     # evaluates twice (mirrors minhash cold caching)
-    cold = cold.select("vec_id", "band", "sig").cache()
+    cold = scoped_cache(cold.select("vec_id", "band", "sig"))
 
     a = cold.alias("a")
     b_ = cold.alias("b")

@@ -367,7 +367,9 @@ def kg_frame_customers(spark, sf_dir):
     pattern) — what the reference does with recursion
     (lib/frame.js:76-323) the engine does with Catalyst joins.
     Derived ONLY from the triples table, never the base tables."""
-    tri = kg_tordf_customers(spark, sf_dir).cache()
+    from .operators.cachereg import release_caches, scoped_cache
+    release_caches()
+    tri = scoped_cache(kg_tordf_customers(spark, sf_dir))
     typed = (tri.filter((F.col("pred") == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
                         & (F.col("obj") == KG_V + "Customer"))
              .select(F.col("subj").alias("cust")))
@@ -540,6 +542,8 @@ def doc_dedup_minhash_lsh(spark, sf_dir):
     blow-up into O(u^2) over unique shapes). Candidates = rep pairs
     sharing any band signature; output verified with true token
     Jaccard >= 0.5."""
+    from .operators.cachereg import release_caches, scoped_cache
+    release_caches()
     d = (load(spark, sf_dir, "documents")
          .select("doc_id", _tokens(F.col("text")).alias("toks"))
          .filter(F.size("toks") > 0))
@@ -548,11 +552,11 @@ def doc_dedup_minhash_lsh(spark, sf_dir):
     # reps feeds three consumers (minhash build + both pair sides) and
     # buckets self-joins — cache both so the doc scan + shape window
     # run once (at 100 TB: persist(DISK_ONLY) at the same two points)
-    reps = (d.select("doc_id", "toks", shape)
-            .withColumn("rep", F.min("doc_id").over(Window.partitionBy("shape")))
-            .filter(F.col("doc_id") == F.col("rep"))
-            .select("doc_id", "toks")
-            .cache())
+    reps = scoped_cache(
+        d.select("doc_id", "toks", shape)
+        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("shape")))
+        .filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "toks"))
     # compact tokens to 60-bit ints once, then TWO minhash functions
     # per md5 (hex chunks 1-15 / 16-30): n/2 short-input md5s instead
     # of n full-token md5s (mirrors operators/dedup.minhash_lsh_pairs)
@@ -575,7 +579,7 @@ def doc_dedup_minhash_lsh(spark, sf_dir):
     buckets = bands[0]
     for extra in bands[1:]:
         buckets = buckets.unionByName(extra)
-    buckets = buckets.cache()
+    buckets = scoped_cache(buckets)
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -1043,7 +1047,10 @@ def kg_fromrdf_nodes(spark, sf_dir):
         .otherwise(F.lit("literal")).alias("obj_kind"),
         F.col("obj").alias("obj_value"),
         F.lit(None).cast("string").alias("obj_datatype"),
-        F.lit(None).cast("string").alias("obj_lang")).cache()
+        F.lit(None).cast("string").alias("obj_lang"))
+    from .operators.cachereg import release_caches, scoped_cache
+    release_caches()
+    full = scoped_cache(full)
     # cached: from_rdf_nodes consumes its input from three plans (list
     # links, chain walk, per-subject assembly) — uncached, each one
     # re-runs the upstream Python-kernel extraction (at 100 TB: the
@@ -1097,8 +1104,10 @@ def emb_knn_lsh(spark, sf_dir):
     # e feeds four consumers (corpus signatures, re-rank join, and both
     # sides of the planted-query construction) — cache so the scan +
     # spread run once (at 100 TB: persist(DISK_ONLY) at the same point)
-    ed = (e.withColumn("embedding", F.col("embedding").cast("array<double>"))
-          .cache())
+    from .operators.cachereg import release_caches, scoped_cache
+    release_caches()
+    ed = scoped_cache(
+        e.withColumn("embedding", F.col("embedding").cast("array<double>")))
     base = (ed.filter(F.col("vec_id") < 3)
             .select(F.col("vec_id").alias("qid"),
                     F.col("embedding").alias("va")))
@@ -1110,7 +1119,8 @@ def emb_knn_lsh(spark, sf_dir):
                  F.zip_with("va", "vb",
                             lambda a, b: F.lit(0.95) * a + F.lit(0.05) * b)
                  .alias("embedding"))
-         .cache())  # consumed twice: signature build + re-rank broadcast
+         )
+    q = scoped_cache(q)  # consumed twice: signature build + re-rank broadcast
     return lsh_topk(ed, q, k=10, bits=_LSH_BITS, bands=_LSH_BANDS,
                     max_bucket=_LSH_MAX_BUCKET)
 
@@ -1257,8 +1267,10 @@ def doc_dedup_embedding(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism)
-    ed = (e.withColumn("embedding", F.col("embedding").cast("array<double>"))
-          .cache())
+    from .operators.cachereg import release_caches, scoped_cache
+    release_caches()
+    ed = scoped_cache(
+        e.withColumn("embedding", F.col("embedding").cast("array<double>")))
     base = (ed.filter(F.col("vec_id") % 20 == 0)
             .select(F.col("vec_id").alias("bid"),
                     F.col("embedding").alias("va")))

@@ -124,3 +124,42 @@ def test_extract_media_features_stage(spark):
             assert r["kind"] == "audio"
             assert r["sample_rate"] == 8000 + (i % 3) * 4000
             assert r["value_sum"] == (64 + i % 32) * (1 + i % 1000)
+
+
+def test_numpy_unfilter_matches_spec_reference():
+    """r5: the unfiltering is numpy-vectorized — check it against a
+    straight-from-spec scalar implementation on random images with
+    random per-row filters (all 5), several channel counts."""
+    import random
+
+    from jsonld_js_spark.operators.codecs import _paeth, decode_png
+
+    rng = random.Random(5005)
+    for trial in range(25):
+        channels = rng.choice([1, 3, 4])
+        w, h = rng.randrange(1, 9), rng.randrange(1, 7)
+        stride = w * channels
+        rows_wf = [(rng.randrange(5), [rng.randrange(256) for _ in range(stride)])
+                   for _ in range(h)]
+        # spec-scalar unfilter
+        prev = [0] * stride
+        expect = 0
+        for f, rdata in rows_wf:
+            row = list(rdata)
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                if f == 1:
+                    row[i] = (row[i] + left) & 0xFF
+                elif f == 2:
+                    row[i] = (row[i] + prev[i]) & 0xFF
+                elif f == 3:
+                    row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+                elif f == 4:
+                    row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
+            expect += sum(row)
+            prev = row
+        color_type = {1: 0, 3: 2, 4: 6}[channels]
+        d = decode_png(_png_with_filters(w, h, channels, rows_wf))
+        assert d["pixel_sum"] == expect, (trial, w, h, channels)
+        assert d["n_pixels"] == w * h

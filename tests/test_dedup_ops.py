@@ -113,3 +113,27 @@ def test_cosine_neardup_hot_bucket_star(spark):
     # star around min-id member: linear in bucket size, still connected
     assert got == {(0, i) for i in range(1, 20)}
     assert dropped.count() == 4  # one hot bucket in each band
+
+
+def test_scoped_caches_released_between_pipelines(spark, docs):
+    """r5 ADVICE #4: dedup/ANN mid-pipeline caches must not accumulate
+    across queries in one session — starting the next scoped pipeline
+    unpersists the previous one's registrations."""
+    from jsonld_js_spark.operators import cachereg
+    from jsonld_js_spark.operators.dedup import cosine_neardup_pairs
+
+    pairs1, _ = minhash_lsh_pairs(docs, threshold=0.5)
+    pairs1.count()
+    live1 = list(cachereg._LIVE)
+    assert live1 and all(df.is_cached for df in live1)
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    pairs2, _ = cosine_neardup_pairs(emb, threshold=0.99, bits=16,
+                                     bands=2, dims=8)
+    pairs2.count()
+    # the first pipeline's caches are gone; only the second's are live
+    assert all(not df.is_cached for df in live1)
+    assert cachereg._LIVE and all(df.is_cached for df in cachereg._LIVE)
+    cachereg.release_caches()
