@@ -137,3 +137,74 @@ def test_scoped_caches_released_between_pipelines(spark, docs):
     assert all(not df.is_cached for df in live1)
     assert cachereg._LIVE and all(df.is_cached for df in cachereg._LIVE)
     cachereg.release_caches()
+
+
+def test_ngram_scale_path_recall_on_planted_corpus(spark):
+    """r5 VERDICT #4 (strength): measure the LSH scale path's recall
+    against exact shingle Jaccard on a PLANTED corpus with known
+    near-dup pairs across the similarity range. With 3 bands x 4 rows
+    the theoretical candidate probability is 1-(1-j^4)^3 (~0.96 at
+    j=0.9, ~0.56 at j=0.7), so the gate asserts near-perfect recall
+    only in the high-similarity bin and REPORTS the lower bins —
+    that's the honest contract of a banded-LSH candidate generator."""
+    import random
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = {}
+    for i in range(30):
+        docs[i] = [rng.choice(vocab) for _ in range(120)]
+    for i in range(30):
+        p = [0.02, 0.08, 0.2][i % 3]
+        docs[100 + i] = [rng.choice(vocab) if rng.random() < p else w
+                         for w in docs[i]]
+
+    def sh3(toks):
+        return {"\x1f".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+
+    shingles = {d: sh3(t) for d, t in docs.items()}
+    ids = sorted(docs)
+    # exact-shape rep classes, as the operator collapses them: docs
+    # with IDENTICAL shingle sets reduce to the min-id representative
+    # before hashing (their pairs are exact dedup's job, not LSH's)
+    rep: dict = {}
+    by_shape: dict = {}
+    for d in ids:
+        key = frozenset(shingles[d])
+        rep[d] = by_shape.setdefault(key, d)
+    exact = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = rep[ids[x]], rep[ids[y]]
+            if a == b:
+                continue
+            inter = len(shingles[a] & shingles[b])
+            j = inter / (len(shingles[a]) + len(shingles[b]) - inter)
+            if j >= 0.5:
+                exact[(min(a, b), max(a, b))] = j
+
+    sdf = spark.createDataFrame(
+        [(d, sorted(shingles[d])) for d in ids],
+        "doc_id long, sh array<string>")
+    pairs, _ = minhash_lsh_pairs(sdf, n_minhash=12, n_bands=3,
+                                 threshold=0.5, max_bucket=20,
+                                 toks_col="sh")
+    got = {(r["doc1"], r["doc2"]): r["jaccard"] for r in pairs.collect()}
+
+    # precision is 1.0 by construction (the operator verifies with
+    # true Jaccard) — check it anyway
+    for (a, b), j in got.items():
+        assert (a, b) in exact, f"false positive {(a, b)} j={j}"
+
+    bins = {"j>=0.85": [0.85, 1.01], "0.7<=j<0.85": [0.7, 0.85],
+            "0.5<=j<0.7": [0.5, 0.7]}
+    print()
+    for name, (lo, hi) in bins.items():
+        tp = [p for p, j in exact.items() if lo <= j < hi]
+        hit = [p for p in tp if p in got]
+        if tp:
+            print(f"  ngram LSH recall {name}: {len(hit)}/{len(tp)} "
+                  f"= {len(hit) / len(tp):.3f}")
+        if name == "j>=0.85":
+            assert tp, "planted corpus produced no high-sim pairs"
+            assert len(hit) / len(tp) >= 0.9, (len(hit), len(tp))
