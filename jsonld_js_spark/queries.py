@@ -1630,6 +1630,63 @@ FROM base
 """
 
 
+_K6_POISON_DOC = __import__("json").dumps(
+    {"@context": {"p": "https://example.org/vocab#p"},
+     "@graph": [{"@id": f"_:n{i}",
+                 "p": [{"@id": f"_:n{j}"} for j in range(6) if j != i]}
+                for i in range(6)]},
+    separators=(",", ":"))
+
+
+def kg_canonize_poison(spark, sf_dir):
+    """The 100-TB canonization failure mode, gated at the driver: one
+    adversarial document — a K6 blank-node clique whose identical
+    first-degree hashes force factorial N-degree exploration
+    (tests/vectors/poison_clique6*, reference: rdf-canonize's
+    maxWorkFactor) — must be REJECTED per the default work factor
+    (maxWorkFactor=3 -> max_deep=n^3) as a per-document 'canonization
+    work factor exceeded' WARNING, while every clean document in the
+    same corpus canonizes normally. No executor stalls, no job
+    failure: the poison degrades to (0 triples, 1 warning) and the
+    row-count oracle pins both sides exactly."""
+    from .operators.pipeline import extract_triples
+
+    d = load(spark, sf_dir, "documents")
+    clean_text = F.concat(
+        F.lit('{"@context":{"@vocab":"https://example.org/vocab#"},'
+              '"@id":"https://example.org/doc/'),
+        F.col("doc_id"),
+        F.lit('","knows":{"name":"K'), F.col("doc_id"), F.lit('"}}'))
+    is_poison = F.col("doc_id") % 41 == 0
+    tx = d.select(
+        F.concat(F.lit("pz-"), F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.when(is_poison, F.lit(_K6_POISON_DOC))
+        .otherwise(clean_text).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    ex = extract_triples(tx, canonicalize=True)
+    poison_warning = ((F.col("kind") == "warning")
+                      & (F.col("obj_value")
+                         == "canonicalization work factor exceeded"))
+    return (ex.groupBy("conv_id")
+            .agg(F.sum(F.when(F.col("kind") == "triple", 1).otherwise(0))
+                 .alias("n_triples"),
+                 F.sum(F.when(poison_warning, 1).otherwise(0))
+                 .alias("n_poison")))
+
+
+ORACLE_KG_CANONIZE_POISON = """
+SELECT 'pz-' || doc_id AS conv_id,
+       CAST(CASE WHEN doc_id % 41 = 0 THEN 0 ELSE 2 END AS BIGINT)
+           AS n_triples,
+       CAST(CASE WHEN doc_id % 41 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_poison
+FROM documents
+"""
+
+
 def kg_entity_link_documents(spark, sf_dir):
     """Salted-key entity linking (operators/entity_link.py) over the
     documents table with a full hash-level oracle: the deterministic
@@ -1750,6 +1807,7 @@ QUERIES = {
     "kg_canonize_transcripts": (kg_canonize_transcripts, None),
     "kg_extract_documents": (kg_extract_documents, ORACLE_KG_EXTRACT_DOCS),
     "kg_canonize_documents": (kg_canonize_documents, ORACLE_KG_CANONIZE_DOCS),
+    "kg_canonize_poison": (kg_canonize_poison, ORACLE_KG_CANONIZE_POISON),
     "kg_entity_link_documents": (kg_entity_link_documents,
                                  ORACLE_KG_ENTITY_LINK),
     "kg_full_build": (kg_full_build, None),

@@ -192,3 +192,27 @@ def test_materialize_graph_iceberg_raises_without_catalog(spark, transcripts):
     tri = triples_only(extract_triples(transcripts.limit(50)))
     with pytest.raises(RuntimeError, match="Iceberg sink unavailable"):
         materialize_graph_iceberg(tri, "nocatalog.db.triples", buckets=4)
+
+
+def test_poison_doc_degrades_per_work_factor_and_completes_at_inf():
+    """r5 VERDICT #5: one adversarial K6-clique document must degrade
+    to (0 quads, 1 warning) under the default maxWorkFactor=3 —
+    never stall the executor — and canonize fully (30 quads, salted
+    c14n labels) when the bound is lifted."""
+    from jsonld_js_spark.operators.pipeline import turn_to_quads
+    from jsonld_js_spark.queries import _K6_POISON_DOC
+
+    quads, events = turn_to_quads(
+        "cpz", 0, "assistant", _K6_POISON_DOC, None, None,
+        canonicalize=True)
+    assert quads == []
+    assert [e["code"] for e in events] == \
+        ["canonicalization work factor exceeded"]
+
+    quads, events = turn_to_quads(
+        "cpz", 0, "assistant", _K6_POISON_DOC, None, None,
+        canonicalize=True, options={"maxWorkFactor": float("inf")})
+    assert len(quads) == 30 and events == []
+    labels = {q["subject"]["value"] for q in quads}
+    assert len(labels) == 6
+    assert all(v.startswith("c14n-") for v in labels)
