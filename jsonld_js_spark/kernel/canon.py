@@ -184,7 +184,16 @@ class _Canonicalizer:
     def run(self) -> dict[str, str]:
         """Returns mapping old bnode label -> canonical label (no `_:`)."""
         self.first_degree_hashes = {}
-        non_normalized = set(self.bnode_to_quads.keys())
+        # iterate in DATASET-APPEARANCE order (bnode_to_quads is built
+        # in quad order): the n-degree result sort below is stable, so
+        # for tie groups (isomorphic components — their n-degree hashes
+        # are identical) the issuance order falls back to THIS order.
+        # rdf-canonize's blankNodeInfo Map has the same appearance
+        # order; a set here made the canonical-id MAP depend on
+        # Python's per-process str-hash seed (caught by the
+        # RDFC10MapTest-arm check — output N-Quads were unaffected
+        # because tied nodes are automorphic).
+        non_normalized = list(self.bnode_to_quads.keys())
         # simple-hash pass (the spec loops; single pass is equivalent for
         # the issue-unique-then-recurse structure below)
         for b in non_normalized:

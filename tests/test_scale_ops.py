@@ -286,3 +286,47 @@ def test_stream_extract_restart_exactly_once_parity(spark, transcripts,
     b_rows = norm(batch)
     assert len(s_rows) == len(b_rows), (len(s_rows), len(b_rows))
     assert s_rows == b_rows
+
+
+def test_salted_path_engages_at_skew_extreme(spark):
+    """r5 VERDICT #7: one alias covering far more than 10% of all
+    mentions — the salted plan must actually spread that key (the
+    dictionary side explodes n_salt ways; the hot surface's mentions
+    land in multiple salt partitions) and still agree with the
+    broadcast path row-for-row."""
+    rows = [(f"c{i}", 0, "user", f"megahot uniq{i} filler{i % 7}",
+             None, None) for i in range(400)]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    ents = spark.createDataFrame(
+        [("megahot", "ent:hot", "concept")]
+        + [(f"filler{i}", f"ent:f{i}", "concept") for i in range(7)],
+        "surface string, entity_id string, kind string")
+
+    salted = link_entities(tx, ents, strategy="salted", n_salt=8)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    # the dictionary side is exploded over the salt array...
+    assert "Generate explode" in plan, plan
+    assert "salt" in plan
+    # ...and NOT broadcast: the join must be a shuffle join on
+    # (token, salt)
+    assert "BroadcastHashJoin" not in plan, plan
+
+    # the hot key is genuinely spread: its mentions hash to >1 salt
+    from jsonld_js_spark.operators.entity_link import _mention_tokens
+    n_salts = (_mention_tokens(tx)
+               .filter(F.col("token") == "megahot")
+               .select(F.pmod(F.xxhash64("conv_id", "turn_idx", "token"),
+                              F.lit(8)).alias("salt"))
+               .distinct().count())
+    assert n_salts == 8
+
+    # semantics unchanged vs the broadcast path
+    bcast = link_entities(tx, ents, strategy="broadcast")
+    assert sorted(map(tuple, salted.collect())) == \
+        sorted(map(tuple, bcast.collect()))
+    # and the hot alias really dominates: >10% of all linked mentions
+    total = bcast.count()
+    hot = bcast.filter(F.col("entity_id") == "ent:hot").count()
+    assert hot == 400 and hot / total > 0.10
