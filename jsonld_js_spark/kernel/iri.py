@@ -55,33 +55,36 @@ def parse_iri(iri: str):
 
 
 def remove_dot_segments(path: str) -> str:
-    """RFC 3986 §5.2.4. '..' above root is dropped (not preserved)."""
+    """RFC 3986 §5.2.4, exact port of lib/url.js removeDotSegments:
+    '..' pops unconditionally (even the root marker — '/..' folds to
+    '/'), a trailing '.'/'..' leaves a trailing slash, and a lone
+    empty segment collapses to '/' (so '.' and '..' against the empty
+    base resolve to '/', not './' — r5 probe find)."""
     if not path:
         return ""
-    output: list[str] = []
     segments = path.split("/")
-    leading = path.startswith("/")
-    i = 0
-    n = len(segments)
+    output: list[str] = []
+    i, n = 0, len(segments)
     while i < n:
         seg = segments[i]
-        last = i == n - 1
         i += 1
+        done = i == n
         if seg == ".":
-            if last:
+            if done:
                 output.append("")
             continue
         if seg == "..":
-            if output and not (len(output) == 1 and output[0] == ""):
+            if output:
                 output.pop()
-            if last:
+            if done:
                 output.append("")
             continue
         output.append(seg)
-    joined = "/".join(output)
-    if leading and not joined.startswith("/"):
-        joined = "/" + joined
-    return joined
+    if path[0] == "/" and output and output[0] != "":
+        output.insert(0, "")
+    if len(output) == 1 and output[0] == "":
+        return "/"
+    return "/".join(output)
 
 
 def _recompose(scheme, authority, path, query, fragment) -> str:
@@ -141,7 +144,10 @@ def prepend_base(base, iri: str) -> str:
                         merged = (b["path"][: slash + 1] if slash >= 0 else "") + r["path"]
                     path = remove_dot_segments(merged)
                 query = r["query"]
-    return _recompose(scheme, authority, path, query, r["fragment"])
+    rval = _recompose(scheme, authority, path, query, r["fragment"])
+    # handle empty base (lib/url.js:139-142): an all-empty composition
+    # becomes './' — so @id "" with the default base '' expands to './'
+    return rval if rval != "" else "./"
 
 
 def remove_base(base, iri: str) -> str:

@@ -221,6 +221,13 @@ def _create_node_map(element, graphs, graph, issuer, name, lst):
             continue
         for o in objects:
             if is_subject(o) or is_subject_reference(o):
+                if "@id" in o and not o["@id"]:
+                    # skip FALSY @id (lib/nodeMap.js:189-192): the
+                    # object is dropped wholesale — no reference, no
+                    # recursion. Reachable from normal expansion: a
+                    # keyword-shaped @graph-@id-container key expands
+                    # its graph name to null (r5 grammar-14 find)
+                    continue
                 oid = o.get("@id")
                 if oid is not None and not isinstance(oid, str):
                     raise syntax_error("@id must be a string.", "invalid @id value")

@@ -3630,3 +3630,188 @@ def test_rdfdirection_sweep_over_grammars(oracle, wave, gi):
             sorted(ref["result"].splitlines())
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
+
+
+def _rand_doc14(rng: random.Random):
+    """14th grammar (r5 verdict #3): @graph CONTAINERS x @included x
+    @annotation-shaped members — @included expansion/validation
+    (lib/expand.js:666-685), the container double-wrap
+    (lib/expand.js:971), graph compaction (lib/compact.js:426-535),
+    and @annotation as a NON-keyword (keyword-shaped, dropped with a
+    warning)."""
+    i = rng.randrange(3)
+    gcdef = rng.choice([
+        ["@graph"], ["@graph", "@set"], ["@graph", "@id"],
+        ["@graph", "@index"], ["@graph", "@id", "@set"],
+        ["@graph", "@index", "@set"]])
+    ctx = {"@vocab": V, "ex": EX,
+           "gc": {"@id": V + f"gc{i}", "@container": gcdef}}
+
+    def node(depth=0):
+        nd: dict = {}
+        if rng.random() < 0.6:
+            nd["@id"] = EX + f"n{rng.randrange(4)}"
+        nd[f"p{rng.randrange(3)}"] = rng.choice(["v", 1, True])
+        if depth < 1 and rng.random() < 0.4:
+            nd["inner"] = node(depth + 1)
+        if depth < 1 and rng.random() < 0.35:
+            nd["@included"] = [node(depth + 1)
+                               for _ in range(rng.randrange(1, 3))]
+        return nd
+
+    r = rng.random()
+    if "@id" in gcdef and r < 0.5:
+        val: object = {EX + f"g{k}": node() for k in range(rng.randrange(1, 3))}
+    elif "@index" in gcdef and r < 0.5:
+        val = {f"ix{k}": node() for k in range(rng.randrange(1, 3))}
+    elif r < 0.75:
+        val = node()
+    else:
+        val = [node() for _ in range(rng.randrange(1, 3))]
+    doc = {"@context": ctx, "@id": EX + "root", "gc": val}
+    if rng.random() < 0.4:
+        doc["@included"] = [node() for _ in range(rng.randrange(1, 3))]
+    if rng.random() < 0.25:
+        tgt = doc if (rng.random() < 0.5 or not isinstance(val, dict)) else val
+        tgt["@annotation"] = {"q": "r"} if rng.random() < 0.5 else "s"
+    if rng.random() < 0.2:
+        # invalid @included values (non-node objects) — error parity
+        doc["@included"] = ({"@value": "bad"} if rng.random() < 0.5
+                            else [{"@value": 1}])
+    return doc
+
+
+GRAMMAR14 = [_rand_doc14(random.Random(140_000 + s)) for s in range(60)]
+
+
+@pytest.mark.parametrize("doc", GRAMMAR14,
+                         ids=[f"g14_{i}" for i in range(len(GRAMMAR14))])
+@pytest.mark.parametrize("op", ["expand", "toRDF", "flatten", "compact"])
+def test_grammar14_matches_reference(oracle, op, doc):
+    from jsonld_js_spark.kernel import compact as k_compact
+    from jsonld_js_spark.kernel import flatten as k_flat
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc, ctx={"@context": doc["@context"]})
+    else:
+        ref = oracle.call(op, doc=doc)
+    try:
+        if op == "expand":
+            mine = k_expand(doc)
+        elif op == "toRDF":
+            mine = k_trd(doc, {"format": "application/n-quads"})
+        elif op == "flatten":
+            mine = k_flat(doc)
+        else:
+            mine = k_compact(doc, doc["@context"])
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        if op == "toRDF":
+            assert mine == ref["result"]
+        else:
+            assert deep_eq(mine, ref["result"]), \
+                f"mine={json.dumps(mine, sort_keys=True)}\nref ={json.dumps(ref['result'], sort_keys=True)}"
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference succeeded"
+
+
+def _rand_frame_case14(rng: random.Random):
+    """Framing over @included blocks (lib/frame.js:197-201 recurses
+    into the frame's @included sub-frame) combined with @embed:@link
+    and named graphs — the combination grammars 3/fuzz3 didn't cover."""
+    nodes = []
+    for k in range(4):
+        nd: dict = {"@id": EX + f"n{k}", "@type": V + f"T{k % 2}",
+                    V + "name": [{"@value": f"nm{k}"}]}
+        if k < 3 and rng.random() < 0.5:
+            nd[V + "ref"] = [{"@id": EX + f"n{k + 1}"}]
+        nodes.append(nd)
+    doc: list = list(nodes)
+    if rng.random() < 0.5:
+        host = dict(doc[0])
+        host["@included"] = [doc.pop(rng.randrange(1, len(doc)))]
+        doc[0] = host
+    if rng.random() < 0.4 and len(doc) > 1:
+        cut = rng.randrange(1, len(doc))
+        doc = doc[:cut] + [{"@id": EX + "g", "@graph": doc[cut:]}]
+
+    frame: dict = {"@context": {"@vocab": V}}
+    if rng.random() < 0.5:
+        frame["@type"] = f"T{rng.randrange(2)}"
+    if rng.random() < 0.7:
+        frame["@included"] = (
+            [{"@type": f"T{rng.randrange(2)}"}] if rng.random() < 0.5
+            else ({} if rng.random() < 0.5 else [{}]))
+    if rng.random() < 0.7:
+        frame["@embed"] = rng.choice(["@link", "@always", "@never", "@once"])
+    if rng.random() < 0.3:
+        frame["ref"] = {"@embed": rng.choice(["@link", "@never"])}
+    opts: dict = {}
+    if rng.random() < 0.3:
+        opts["omitGraph"] = rng.random() < 0.5
+    if rng.random() < 0.3:
+        opts["embed"] = "@link"
+    return doc, frame, opts
+
+
+FRAME14 = [_rand_frame_case14(random.Random(150_000 + s)) for s in range(60)]
+
+
+@pytest.mark.parametrize("case_i", range(len(FRAME14)),
+                         ids=[f"f14_{i}" for i in range(len(FRAME14))])
+def test_frame_included_link_matches_reference(oracle, case_i):
+    from jsonld_js_spark.kernel import api
+
+    doc, frm, opts = FRAME14[case_i]
+    ref = oracle.call("frame", doc=doc, frame=frm, options=opts)
+    try:
+        mine_obj = api.frame(doc, frm, dict(opts))
+        try:
+            # @embed:@link builds REAL reference cycles: JSON.stringify
+            # throws on the reference side, json.dumps/_js_numbers on
+            # ours (ValueError or RecursionError) — both mean CIRCULAR
+            mine = json.dumps(_js_numbers(mine_obj), sort_keys=True)
+        except (ValueError, RecursionError):
+            mine = "CIRCULAR"
+    except JsonLdError:
+        mine = "ERR"
+    if ref["ok"]:
+        refs = json.dumps(_js_numbers(ref["result"]), sort_keys=True)
+    else:
+        msg = str(ref.get("message", "")) + str(ref.get("code", ""))
+        refs = "CIRCULAR" if "circular" in msg.lower() else "ERR"
+    assert mine == refs, f"mine={mine[:400]}\nref ={refs[:400]}"
+
+
+REL_ID_CASES = [
+    # (@id, base option or None) — empty/dot relatives against assorted
+    # bases; r5 finds: '' -> './' ('' base), '.'/'..' -> '/' (the
+    # reference's removeDotSegments lone-''-segment rule), plus the
+    # falsy-@id node-map skip downstream
+    ("", None), ("", "http://b/x/y"), (".", None), ("..", None),
+    (".", "http://b/x/y"), ("..", "http://b/x/y"), ("#f", None),
+    ("?q", None), ("x/..", None), ("a/.", None), ("../../z", "http://b/x/y"),
+    ("//h/p", None), ("x/../y", "http://b/x/"),
+]
+
+
+@pytest.mark.parametrize("case_i", range(len(REL_ID_CASES)),
+                         ids=[f"rel{i}" for i in range(len(REL_ID_CASES))])
+@pytest.mark.parametrize("op", ["expand", "flatten"])
+def test_relative_id_resolution_matches_reference(oracle, op, case_i):
+    from jsonld_js_spark.kernel import api
+
+    iri, base = REL_ID_CASES[case_i]
+    doc = [{"@id": "http://e/r",
+            "http://e/p": [{"@id": iri, "http://e/q": [{"@value": 1}]}]}]
+    opts = {} if base is None else {"base": base}
+    ref = oracle.call(op, doc=doc, options=opts)
+    try:
+        mine = (api.expand(doc, dict(opts)) if op == "expand"
+                else api.flatten(doc, None, dict(opts)))
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
