@@ -3815,3 +3815,119 @@ def test_relative_id_resolution_matches_reference(oracle, op, case_i):
             f"ref ={json.dumps(ref['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+def _rand_opt_case15(rng: random.Random, i: int):
+    """15th grammar (r4 lead): randomized API-OPTION combos — base x
+    expandContext (inline dict / wrapped / remote URL) x
+    processingMode x compactArrays/graph/compactToRelative — against
+    docs mixing relative @ids and 1.1 context features. URLs and
+    vocab IRIs are per-case-unique (shared oracle caches by URL and
+    content)."""
+    V15 = f"http://v15-{i}.example/"
+    E15 = f"http://e15-{i}.example/"
+    docs = {}
+    doc: dict = {}
+    if rng.random() < 0.6:
+        ctx: dict = {"@vocab": V15} if rng.random() < 0.6 else \
+            {"t15": {"@id": V15 + "t15",
+                     "@prefix": True} if rng.random() < 0.5 else V15 + "t15"}
+        if rng.random() < 0.3:
+            ctx["@base"] = E15 + "inner/"
+        doc["@context"] = ctx
+    if rng.random() < 0.7:
+        doc["@id"] = rng.choice(["rel", "../up", "", "#f", E15 + "abs"])
+    doc[rng.choice(["p15", "t15"])] = rng.choice(
+        ["x", {"@id": "other"}, [1, "two"], {"t15": "nested"}])
+
+    opts: dict = {}
+    r = rng.random()
+    if r < 0.3:
+        opts["base"] = E15 + "dir/doc"
+    elif r < 0.45:
+        opts["base"] = ""
+    ec = rng.random()
+    if ec < 0.25:
+        opts["expandContext"] = {"@vocab": V15 + "ec/"}
+    elif ec < 0.4:
+        opts["expandContext"] = {"@context": {"ecterm15": V15 + "ec2"}}
+    elif ec < 0.55:
+        url = f"http://r15-{i}.example/ec"
+        docs[url] = {"@context": {"ecterm15": V15 + "ec3#"}}
+        opts["expandContext"] = url
+    if rng.random() < 0.3:
+        opts["processingMode"] = rng.choice(["json-ld-1.0", "json-ld-1.1"])
+    op = rng.choice(["expand", "compact"])
+    if op == "compact":
+        if rng.random() < 0.4:
+            opts["compactArrays"] = rng.random() < 0.5
+        if rng.random() < 0.3:
+            opts["graph"] = rng.random() < 0.5
+        if rng.random() < 0.3:
+            opts["compactToRelative"] = rng.random() < 0.5
+    return op, doc, opts, docs
+
+
+OPT15 = [_rand_opt_case15(random.Random(160_000 + s), s) for s in range(80)]
+
+
+@pytest.mark.parametrize("case_i", range(len(OPT15)),
+                         ids=[f"o15_{i}" for i in range(len(OPT15))])
+def test_api_option_fuzz_matches_reference(oracle, case_i):
+    from jsonld_js_spark.kernel import api
+
+    op, doc, opts, docs = OPT15[case_i]
+    kw = {"documents": {u: {"document": d} for u, d in docs.items()}} \
+        if docs else {}
+    ctx = {"@context": doc.get("@context") or {}}
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc, ctx=ctx, options=opts, **kw)
+    else:
+        ref = oracle.call("expand", doc=doc, options=opts, **kw)
+    kopts = dict(opts)
+    if docs:
+        kopts["context_loader"] = dict(docs)
+    try:
+        if op == "expand":
+            mine = api.expand(doc, kopts)
+        else:
+            mine = api.compact(doc, ctx["@context"], kopts)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"op={op} opts={opts}\n"
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], \
+            f"we errored ({e}) but reference ok: {ref} (op={op} opts={opts})"
+
+
+@pytest.mark.parametrize("doc", GRAMMAR14,
+                         ids=[f"rt14_{i}" for i in range(len(GRAMMAR14))])
+def test_grammar14_compact_roundtrip(oracle, doc):
+    """Round-trip the @graph-container compaction (verdict r5 #3):
+    re-EXPAND each engine's own compacted output and compare. The
+    compacted docs are a different input distribution than any
+    grammar generates directly — container-shaped values produced by
+    lib/compact.js:426-535, including the double-wrap quirk's
+    output."""
+    from jsonld_js_spark.kernel import compact as k_compact
+
+    ctx = {"@context": doc["@context"]}
+    ref_c = oracle.call("compact", doc=doc, ctx=ctx)
+    try:
+        mine_c = k_compact(doc, doc["@context"])
+    except JsonLdError:
+        assert not ref_c["ok"]
+        return
+    assert ref_c["ok"]
+    ref_e = oracle.call("expand", doc=ref_c["result"])
+    try:
+        mine_e = k_expand(mine_c)
+        assert ref_e["ok"], f"reference errored on re-expand: {ref_e}"
+        assert deep_eq(mine_e, ref_e["result"]), (
+            f"compacted={json.dumps(mine_c, sort_keys=True)[:300]}\n"
+            f"mine={json.dumps(mine_e, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref_e['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref_e["ok"], f"we errored ({e}) on re-expand but ref ok"
