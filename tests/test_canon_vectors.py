@@ -445,6 +445,11 @@ def test_random_graphs_kernel_equals_spec_rederivation(seed):
     quads = parse(nq)
     base = canonize(quads, max_work_factor=float("inf"))
     assert base == _spec_canonize(quads), nq
+    # the canonical-id MAP itself must also agree (RDFC10MapTest-arm
+    # semantics, r5): serialization equality alone can't distinguish
+    # which member of an automorphic orbit received which label
+    assert canonical_id_map(quads, max_work_factor=float("inf")) == \
+        _SpecCanonicalizer(_to_tuples(quads)).run(), nq
     # relabeling invariance on a permutation sample
     for _ in range(3):
         perm = list(labels)

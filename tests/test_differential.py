@@ -3931,3 +3931,176 @@ def test_grammar14_compact_roundtrip(oracle, doc):
             f"ref ={json.dumps(ref_e['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref_e["ok"], f"we errored ({e}) on re-expand but ref ok"
+
+
+def _rand_json_value(rng: random.Random, depth: int = 0):
+    r = rng.random()
+    if depth > 2 or r < 0.35:
+        return rng.choice([
+            True, False, None,
+            rng.randrange(-10**15, 10**15),
+            rng.choice([0, -0.0, 1e21, 1e-7, 5e-324, 1.5,
+                        0.1 + 0.2, 1e100, -1e-100, 123456.789e3,
+                        9007199254740993.0, 2.2250738585072014e-308]),
+            rng.uniform(-1e6, 1e6),
+            rng.choice(["", "a", "\u00e9\u20ac", "\U0001F600", "tab\t",
+                        'q"uote', "back\\slash", "ctl", "\u00df"]),
+        ])
+    if r < 0.7:
+        return {rng.choice(["a", "\u00e9", "Z", "\u00df",
+                            f"k{rng.randrange(5)}"]):
+                _rand_json_value(rng, depth + 1)
+                for _ in range(rng.randrange(0, 4))}
+    return [_rand_json_value(rng, depth + 1)
+            for _ in range(rng.randrange(0, 4))]
+
+
+JCS_FUZZ = [_rand_json_value(random.Random(170_000 + s)) for s in range(60)]
+
+
+@pytest.mark.parametrize("val_i", range(len(JCS_FUZZ)),
+                         ids=[f"jcsf{i}" for i in range(len(JCS_FUZZ))])
+def test_json_literal_fuzz_matches_reference(oracle, val_i):
+    """Randomized @type:@json values through toRDF — JCS number
+    shortest-form across magnitudes, denormals, UTF-16 sorting of
+    mixed BMP/astral keys, escape minimization (r5 extension of the
+    curated JCS battery)."""
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    doc = {"@context": {"@vocab": V}, "@id": EX + "a",
+           "p": {"@value": JCS_FUZZ[val_i], "@type": "@json"}}
+    ref = oracle.call("toRDF", doc=doc)
+    try:
+        mine = k_trd(doc, {"format": "application/n-quads"})
+        assert ref["ok"], ref
+        assert mine == ref["result"], f"mine={mine!r}\nref={ref['result']!r}"
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+RDF_JSON_LITERALS = [
+    # non-canonical spacing/key order parses, then recanonicalizes on
+    # the way back out of toRDF — fromRDF keeps the PARSED value
+    '{"b":1, "a": [true,null]}',
+    '{"a": 1e2}',
+    '[1.0, 2.50, -0.0]',
+    '"plain"',
+    'true',
+    '[]',
+    '{}',
+    # invalid JSON -> 'invalid JSON literal'
+    '{broken',
+    '{"dup": 1, "dup": 2}',
+]
+
+
+@pytest.mark.parametrize("lit_i", range(len(RDF_JSON_LITERALS)),
+                         ids=[f"rj{i}" for i in range(len(RDF_JSON_LITERALS))])
+def test_rdf_json_literal_from_rdf_matches_reference(oracle, lit_i):
+    """rdf:JSON literals arriving via fromRDF: JSON.parse semantics
+    (duplicate keys last-wins), @type @json value shape, and the
+    invalid-JSON error path."""
+    from jsonld_js_spark.kernel import from_rdf
+
+    lit = RDF_JSON_LITERALS[lit_i]
+    quads = [{"subject": {"termType": "NamedNode", "value": "http://e/s"},
+              "predicate": {"termType": "NamedNode", "value": "http://e/p"},
+              "object": {"termType": "Literal", "value": lit,
+                         "datatype": {"termType": "NamedNode",
+                                      "value": "http://www.w3.org/1999/02/"
+                                               "22-rdf-syntax-ns#JSON"},
+                         "language": ""},
+              "graph": {"termType": "DefaultGraph", "value": ""}}]
+    ref = oracle.call("fromRDF", dataset=quads)
+    try:
+        mine = from_rdf(quads)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+def _rand_doc16(rng: random.Random, i: int):
+    """16th grammar: type-scoped / property-scoped contexts x
+    @propagate x @included blocks x previousContext reversion —
+    does a non-propagating (or type-scoped, default non-propagating)
+    context revert for the nodes INSIDE an @included block, and do
+    scoped terms leak into included nodes? (lib/expand.js @included
+    recursion passes activeCtx; reversion happens per node object.)
+    Unique vocab per case (shared oracle caches)."""
+    V16 = f"http://v16-{i}.example/"
+    tctx: dict = {"a16": V16 + "scoped-a"}
+    if rng.random() < 0.5:
+        tctx["@propagate"] = rng.random() < 0.5
+    ctx: dict = {"@vocab": V16, "T": {"@id": V16 + "T", "@context": tctx}}
+    if rng.random() < 0.4:
+        ctx["p16"] = {"@id": V16 + "p16",
+                      "@context": {"b16": V16 + "scoped-b"}}
+
+    def inner_node():
+        return {"a16": "in-a", "b16": "in-b",
+                **({"@id": f"http://e16-{i}.example/n{rng.randrange(3)}"}
+                   if rng.random() < 0.6 else {})}
+
+    doc: dict = {"@context": ctx}
+    host: dict = {"a16": "host-a"}
+    if rng.random() < 0.7:
+        host["@type"] = "T"
+    r = rng.random()
+    if r < 0.4:
+        host["@included"] = [inner_node()
+                             for _ in range(rng.randrange(1, 3))]
+    elif r < 0.7:
+        host["@included"] = {**inner_node(),
+                             "@included": [inner_node()]}
+    if rng.random() < 0.5:
+        host["p16"] = inner_node()
+    if rng.random() < 0.4:
+        host["deep"] = {"@type": "T", "@included": [inner_node()],
+                        "a16": "deep-a"}
+    if rng.random() < 0.3:
+        doc["@included"] = [dict(host)]
+        doc["a16"] = "top-a"
+    else:
+        doc.update(host)
+    return doc
+
+
+GRAMMAR16 = [_rand_doc16(random.Random(180_000 + s), s) for s in range(60)]
+
+
+@pytest.mark.parametrize("doc", GRAMMAR16,
+                         ids=[f"g16_{i}" for i in range(len(GRAMMAR16))])
+@pytest.mark.parametrize("op", ["expand", "compact", "flatten"])
+def test_grammar16_matches_reference(oracle, op, doc):
+    from collections import Counter
+
+    from jsonld_js_spark.kernel import api
+    from jsonld_js_spark.kernel import compact as k_compact
+    from jsonld_js_spark.kernel import flatten as k_flat
+
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc,
+                          ctx={"@context": doc["@context"]})
+    else:
+        ref = oracle.call(op, doc=doc,
+                          collectEvents=(op == "expand"))
+    kopts: dict = {"events": []}
+    try:
+        if op == "expand":
+            mine = api.expand(doc, kopts)
+        elif op == "flatten":
+            mine = k_flat(doc)
+        else:
+            mine = k_compact(doc, doc["@context"])
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+        if op == "expand":
+            assert Counter(e["code"] for e in kopts["events"]) == \
+                Counter(e["code"] for e in ref.get("events", []))
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
