@@ -1,0 +1,120 @@
+"""The reference's OWN regression corpus (tests/misc.js) as a
+differential battery.
+
+misc.js is jsonld.js' hand-curated non-W3C regression suite — js
+keywords, relative IRIs, @vocab prepending, literal JSON, value
+corners. We mine only the INPUT documents out of it at runtime (the
+expected outputs are unnecessary: the reference itself is the oracle)
+and run every document through expand / compact / flatten / toRDF on
+both engines. Remote-context inputs run against an EMPTY document
+table on both sides, so loader failures compare as error-parity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+
+from jsonld_js_spark.kernel import api
+from jsonld_js_spark.kernel import compact as k_compact
+from jsonld_js_spark.kernel import flatten as k_flat
+from jsonld_js_spark.kernel import to_rdf as k_trd
+from jsonld_js_spark.kernel.errors import JsonLdError
+
+from tests.ref_oracle import harness
+
+REF_MISC = "/root/reference/tests/misc.js"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(REF_MISC) and harness.available()),
+    reason="reference misc.js or node unavailable")
+
+
+def _mine_inputs() -> list:
+    src = open(REF_MISC).read()
+    dec = json.JSONDecoder()
+    docs = []
+    for m in re.finditer(r"const input =\s*", src):
+        start = m.end()
+        if start >= len(src) or src[start] not in "{[":
+            continue
+        try:
+            val, _ = dec.raw_decode(src[start:])
+        except ValueError:
+            continue  # JS-expression inputs (template strings etc.)
+        docs.append(val)
+    seen = set()
+    out = []
+    for d in docs:
+        k = json.dumps(d, sort_keys=True)
+        if k not in seen:
+            seen.add(k)
+            out.append(d)
+    return out
+
+
+MISC_DOCS = _mine_inputs() if os.path.exists(REF_MISC) else []
+
+
+def _js_numbers(x):
+    if isinstance(x, float) and x.is_integer() and abs(x) < 2**53:
+        return int(x)
+    if isinstance(x, list):
+        return [_js_numbers(v) for v in x]
+    if isinstance(x, dict):
+        return {k: _js_numbers(v) for k, v in x.items()}
+    return x
+
+
+def deep_eq(a, b) -> bool:
+    return json.dumps(_js_numbers(a), sort_keys=True) == \
+        json.dumps(_js_numbers(b), sort_keys=True)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    o = harness.ReferenceOracle()
+    yield o
+    o.close()
+
+
+def test_corpus_mined():
+    # the miner must find a substantive corpus, not silently shrink
+    assert len(MISC_DOCS) >= 60, len(MISC_DOCS)
+
+
+@pytest.mark.parametrize("doc_i", range(len(MISC_DOCS)),
+                         ids=[f"m{i}" for i in range(len(MISC_DOCS))])
+@pytest.mark.parametrize("op", ["expand", "compact", "flatten", "toRDF"])
+def test_misc_corpus_matches_reference(oracle, op, doc_i):
+    doc = MISC_DOCS[doc_i]
+    ctx = doc.get("@context") if isinstance(doc, dict) else None
+    kw = {"documents": {}}
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc, ctx={"@context": ctx or {}},
+                          **kw)
+    else:
+        ref = oracle.call(op, doc=doc, **kw)
+    kopts = {"context_loader": {}}
+    try:
+        if op == "expand":
+            mine = api.expand(doc, dict(kopts))
+        elif op == "flatten":
+            mine = k_flat(doc, None, dict(kopts))
+        elif op == "toRDF":
+            mine = k_trd(doc, {"format": "application/n-quads", **kopts})
+        else:
+            mine = k_compact(doc, ctx or {}, dict(kopts))
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        if op == "toRDF":
+            assert mine == ref["result"], \
+                f"mine={mine!r}\nref={ref['result']!r}"
+        else:
+            assert deep_eq(mine, ref["result"]), (
+                f"mine={json.dumps(mine, sort_keys=True)}\n"
+                f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"

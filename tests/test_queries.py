@@ -194,3 +194,56 @@ def test_ngram_demo_pairs_contained_in_minhash_scale_path(spark):
     assert not missed, (
         f"scale path missed {len(missed)} ground-truth pairs: "
         f"{sorted(missed)[:10]}")
+
+
+def test_token_demo_pairs_contained_in_minhash_scale_path(spark):
+    """Symmetric to the ngram gate: the token-set all-pairs demo
+    (threshold 0.8) is ground truth for doc_dedup_minhash_lsh (same
+    token sets, verify threshold 0.5 ⊂ 0.8). Pairs translate through
+    the exact-shape rep collapse; recall printed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from jsonld_js_spark.queries import (_tokens, doc_dedup_minhash_lsh,
+                                         doc_dedup_token_jaccard, load)
+
+    demo = {(r["doc1"], r["doc2"])
+            for r in doc_dedup_token_jaccard(spark, SF_DIR).collect()}
+    scale = {(r["doc1"], r["doc2"])
+             for r in doc_dedup_minhash_lsh(spark, SF_DIR).collect()}
+
+    d = (load(spark, SF_DIR, "documents")
+         .select("doc_id", _tokens(F.col("text")).alias("toks"))
+         .filter(F.size("toks") > 0))
+    shape = F.md5(F.concat_ws("\x1f", F.array_sort("toks"))).alias("shape")
+    rep = {r["doc_id"]: r["rep"]
+           for r in d.select("doc_id", shape)
+           .withColumn("rep", F.min("doc_id").over(Window.partitionBy("shape")))
+           .collect()}
+
+    translated = set()
+    for a, b in demo:
+        ra, rb = rep[a], rep[b]
+        if ra != rb:
+            translated.add((min(ra, rb), max(ra, rb)))
+
+    assert translated, "test corpus has no cross-shape token near-dups"
+    missed = translated - scale
+    recall = 1 - len(missed) / len(translated)
+    print(f"\ntoken scale-path recall vs exact demo: {recall:.4f} "
+          f"({len(translated) - len(missed)}/{len(translated)} pairs)")
+    # banded LSH (3x4) catches ~80% at j=0.8 and ~99.9% at j=0.95 —
+    # the honest gate: high overall recall AND no high-sim miss
+    assert recall >= 0.95, sorted(missed)[:10]
+    if missed:
+        jac = {(r["doc1"], r["doc2"]): r["jaccard"]
+               for r in doc_dedup_token_jaccard(spark, SF_DIR).collect()}
+        by_rep = {}
+        for (a, b), j in jac.items():
+            ra, rb = rep[a], rep[b]
+            if ra != rb:
+                key = (min(ra, rb), max(ra, rb))
+                by_rep[key] = max(by_rep.get(key, 0.0), j)
+        high_missed = [(p, by_rep.get(p)) for p in missed
+                       if by_rep.get(p, 0.0) >= 0.95]
+        assert not high_missed, high_missed
