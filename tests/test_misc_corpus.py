@@ -27,6 +27,7 @@ from jsonld_js_spark.kernel.errors import JsonLdError
 from tests.ref_oracle import harness
 
 REF_MISC = "/root/reference/tests/misc.js"
+REF_GC = "/root/reference/tests/graph-container.js"
 
 pytestmark = pytest.mark.skipif(
     not (os.path.exists(REF_MISC) and harness.available()),
@@ -35,9 +36,11 @@ pytestmark = pytest.mark.skipif(
 
 def _mine_inputs() -> list:
     src = open(REF_MISC).read()
+    if os.path.exists(REF_GC):
+        src += open(REF_GC).read()
     dec = json.JSONDecoder()
     docs = []
-    for m in re.finditer(r"const input =\s*", src):
+    for m in re.finditer(r"const (?:input|doc) =\s*", src):
         start = m.end()
         if start >= len(src) or src[start] not in "{[":
             continue
@@ -118,3 +121,29 @@ def test_misc_corpus_matches_reference(oracle, op, doc_i):
                 f"ref ={json.dumps(ref['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+@pytest.mark.parametrize("doc_i", range(len(MISC_DOCS)),
+                         ids=[f"mi{i}" for i in range(len(MISC_DOCS))])
+def test_misc_corpus_expand_idempotent_like_reference(oracle, doc_i):
+    """Re-EXPAND each engine's own expanded output (the user path for
+    already-expanded data, and the semantic core of skipExpansion):
+    expanded documents are a different input distribution — no
+    contexts, explicit @value/@list shapes, keyword-only objects."""
+    doc = MISC_DOCS[doc_i]
+    ref1 = oracle.call("expand", doc=doc, documents={})
+    try:
+        mine1 = api.expand(doc, {"context_loader": {}})
+    except JsonLdError:
+        assert not ref1["ok"]
+        return
+    assert ref1["ok"]
+    ref2 = oracle.call("expand", doc=ref1["result"], documents={})
+    try:
+        mine2 = api.expand(mine1, {"context_loader": {}})
+        assert ref2["ok"], f"reference errored on re-expand: {ref2}"
+        assert deep_eq(mine2, ref2["result"]), (
+            f"mine={json.dumps(mine2, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref2['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref2["ok"], f"we errored ({e}) on re-expand but ref ok"
