@@ -16,6 +16,7 @@ def main() -> None:
     out = subprocess.run(
         [sys.executable, "-m", "pytest",
          "tests/test_differential.py", "tests/test_reference_fixtures.py",
+         "tests/test_misc_corpus.py",
          "-v", "--tb=no"],
         capture_output=True, text=True, cwd=REPO, timeout=1800)
     passed = Counter()
