@@ -861,13 +861,20 @@ def create_term_definition(active_ctx: dict, local_ctx: dict, term: str, defined
         # one value (+@set), 1.0 mode forbids arrays and 1.1 values,
         # and the stored container is the raw validated list
         cont = value["@container"]
-        # null normalizes to [] and is ACCEPTED (stored as an empty
-        # list, which the inverse context keys as '' so the term is
-        # never container-selected — lib/context.js:804-805,1267-1268)
+        # JS normalization (lib/context.js:804-805):
+        #   container = isString(v) ? [v] : (v || [])
+        # — EVERY falsy value (null/0/false) normalizes to [] and is
+        # ACCEPTED (stored as an empty list, which the inverse context
+        # keys as '' so the term is never container-selected), while a
+        # TRUTHY non-string non-array keeps its raw value and crashes
+        # at container.includes (r5 grammar-18 find)
+        if cont and not isinstance(cont, (str, list)):
+            raise JsonLdError("container.includes is not a function",
+                              "TypeError")
         conts = ([cont] if isinstance(cont, str)
                  else cont if isinstance(cont, list) else [])
         valid = {"@list", "@set", "@index", "@language"}
-        is_valid = isinstance(cont, (str, list)) or cont is None
+        is_valid = True
         has_set = "@set" in conts
         if active_ctx.get("processingMode") != "json-ld-1.0":
             valid |= {"@graph", "@id", "@type"}

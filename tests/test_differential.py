@@ -4104,3 +4104,182 @@ def test_grammar16_matches_reference(oracle, op, doc):
                 Counter(e["code"] for e in ref.get("events", []))
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e}) but reference ok: {ref}"
+
+
+_ALIASABLE = ["@id", "@type", "@value", "@language", "@direction",
+              "@list", "@set", "@graph", "@index", "@included",
+              "@reverse", "@nest", "@json", "@none"]
+
+
+def _rand_doc17(rng: random.Random, i: int):
+    """17th grammar: keyword ALIASES in data position — a random
+    subset of keywords aliased in the context, then used (aliased
+    @value objects with aliased @language/@direction, aliased @list/
+    @set wrappers, aliased @reverse/@index/@included, @json via alias,
+    @none as map key). Unique vocab per case."""
+    V17 = f"http://v17-{i}.example/"
+    aliased = {kw: f"a{kw[1:]}17" for kw in _ALIASABLE
+               if rng.random() < 0.55}
+
+    def k(kw):
+        return aliased.get(kw, kw)
+
+    ctx: dict = {"@vocab": V17}
+    for kw, al in aliased.items():
+        ctx[al] = kw
+    if rng.random() < 0.4:
+        ctx["lmap"] = {"@id": V17 + "lmap", "@container": "@language"}
+    if rng.random() < 0.3:
+        ctx["jt"] = {"@id": V17 + "jt", "@type": "@json"}
+
+    doc: dict = {"@context": ctx}
+    if rng.random() < 0.7:
+        doc[k("@id")] = f"http://e17-{i}.example/n{rng.randrange(3)}"
+    if rng.random() < 0.5:
+        doc[k("@type")] = rng.choice(["T17", [f"T17", "U17"]])
+    r = rng.random()
+    if r < 0.35:
+        vo: dict = {k("@value"): rng.choice(["vv", 7, True])}
+        if rng.random() < 0.5:
+            vo[k("@language")] = "de"
+        elif rng.random() < 0.5:
+            vo[k("@direction")] = rng.choice(["ltr", "rtl"])
+        doc["p17"] = vo
+    elif r < 0.55:
+        doc["p17"] = {k("@list"): ["a", 1, {k("@value"): "lv"}]}
+    elif r < 0.7:
+        doc["p17"] = {k("@set"): ["s1", {k("@id"):
+                                         f"http://e17-{i}.example/s"}]}
+    if rng.random() < 0.35:
+        doc[k("@included")] = [{k("@id"): f"http://e17-{i}.example/inc",
+                                "q17": "iv"}]
+    if rng.random() < 0.3:
+        doc[k("@reverse")] = {"r17": {k("@id"):
+                                      f"http://e17-{i}.example/rr"}}
+    if rng.random() < 0.3:
+        doc[k("@index")] = "ix17"
+    if rng.random() < 0.3 and "jt" in ctx:
+        doc["jt"] = {"n": [1.5, None]}
+    if rng.random() < 0.3 and "lmap" in ctx:
+        doc["lmap"] = {"en": "hello", k("@none"): "plain"}
+    if rng.random() < 0.25:
+        doc[k("@graph")] = [{"g17": "gv"}]
+    return doc
+
+
+GRAMMAR17 = [_rand_doc17(random.Random(190_000 + s), s) for s in range(60)]
+
+
+@pytest.mark.parametrize("doc", GRAMMAR17,
+                         ids=[f"g17_{i}" for i in range(len(GRAMMAR17))])
+@pytest.mark.parametrize("op", ["expand", "compact", "flatten", "toRDF"])
+def test_grammar17_matches_reference(oracle, op, doc):
+    from jsonld_js_spark.kernel import compact as k_compact
+    from jsonld_js_spark.kernel import flatten as k_flat
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    if op == "compact":
+        ref = oracle.call("compact", doc=doc,
+                          ctx={"@context": doc["@context"]})
+    else:
+        ref = oracle.call(op, doc=doc)
+    try:
+        if op == "expand":
+            mine = k_expand(doc)
+        elif op == "toRDF":
+            mine = k_trd(doc, {"format": "application/n-quads"})
+        elif op == "flatten":
+            mine = k_flat(doc)
+        else:
+            mine = k_compact(doc, doc["@context"])
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        if op == "toRDF":
+            assert mine == ref["result"]
+        else:
+            assert deep_eq(mine, ref["result"]), (
+                f"mine={json.dumps(mine, sort_keys=True)}\n"
+                f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference succeeded"
+
+
+def _rand_doc18(rng: random.Random, i: int):
+    """18th grammar: adversarial TYPE-CONFUSED documents — keywords
+    with wrong-typed values, nested arrays where objects belong,
+    value objects with contradictory members, bad @container/@type
+    defs. Error-code parity is the target (the ok cases are gravy)."""
+    V18 = f"http://v18-{i}.example/"
+    bad = rng.randrange(14)
+    ctx: dict = {"@vocab": V18}
+    doc: dict = {"@context": ctx}
+    if bad == 0:
+        doc["@id"] = rng.choice([5, True, ["a", "b"], {"x": 1}])
+    elif bad == 1:
+        doc["@type"] = rng.choice([7, {"t": 1}, [3], [["T"]]])
+    elif bad == 2:
+        doc["p"] = {"@value": {"not": "allowed"}}
+    elif bad == 3:
+        doc["p"] = {"@value": "v", "@language": "en", "@type": V18 + "T"}
+    elif bad == 4:
+        doc["p"] = {"@value": "v", "extra": "member"}
+    elif bad == 5:
+        doc["p"] = {"@list": "not-an-array-is-fine-actually"}
+    elif bad == 6:
+        doc["@graph"] = rng.choice(["str", 5, True])
+    elif bad == 7:
+        ctx["badterm"] = {"@container": rng.choice(
+            ["@bogus", ["@list", "@set", "@index"], 7, ["@graph", "@language"]])}
+        doc["badterm"] = "x"
+    elif bad == 8:
+        ctx["t"] = {"@id": V18 + "t", "@type": rng.choice(
+            ["@bogus", 7, ["@id"], "relative"])}
+        doc["t"] = "x"
+    elif bad == 9:
+        doc["p"] = {"@value": "v", "@language": rng.choice(
+            [5, True, ["en"]])}
+    elif bad == 10:
+        doc["p"] = {"@value": "v", "@index": rng.choice([5, {"i": 1}])}
+    elif bad == 11:
+        doc["@reverse"] = rng.choice(["str", 5, ["a"]])
+    elif bad == 12:
+        doc["p"] = {"@set": "scalar", "@index": "i"}
+    else:
+        doc["p"] = [[["deep", "nested"], "arrays"]]
+    # sometimes pile a second hazard on top
+    if rng.random() < 0.3:
+        doc["q"] = {"@value": None}
+    return doc
+
+
+GRAMMAR18 = [_rand_doc18(random.Random(200_000 + s), s) for s in range(60)]
+
+
+@pytest.mark.parametrize("doc", GRAMMAR18,
+                         ids=[f"g18_{i}" for i in range(len(GRAMMAR18))])
+@pytest.mark.parametrize("op", ["expand", "toRDF", "flatten"])
+def test_grammar18_error_parity_matches_reference(oracle, op, doc):
+    from jsonld_js_spark.kernel import flatten as k_flat
+    from jsonld_js_spark.kernel import to_rdf as k_trd
+
+    ref = oracle.call(op, doc=doc)
+    try:
+        if op == "expand":
+            mine = k_expand(doc)
+        elif op == "toRDF":
+            mine = k_trd(doc, {"format": "application/n-quads"})
+        else:
+            mine = k_flat(doc)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        if op == "toRDF":
+            assert mine == ref["result"]
+        else:
+            assert deep_eq(mine, ref["result"]), (
+                f"mine={json.dumps(mine, sort_keys=True)}\n"
+                f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference succeeded"
+        # error CODE parity, not just both-errored (the runner maps a
+        # JS TypeError's code to its name)
+        assert (e.code or e.name or "") == (ref.get("code") or ""), (
+            f"mine code={e.code!r} ref code={ref.get('code')!r} "
+            f"(ref msg={ref.get('message')!r})")
