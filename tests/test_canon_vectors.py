@@ -482,3 +482,59 @@ def test_canonical_id_map_arm(case):
     assert set(kernel_map) == labels
     assert sorted(kernel_map.values()) == sorted(
         f"c14n{i}" for i in range(len(labels)))
+
+
+def _hard_graph_nq(rng) -> str:
+    """Adversarially SYMMETRIC graphs: unions of isomorphic
+    components, rings, and bipartite blocks — the shapes where every
+    first-degree hash collides and the n-degree permutation path +
+    tie ordering carry the whole answer (r5 hardening of the sweep)."""
+    kind = rng.randrange(4)
+    lines = []
+    p = f"{EX}p"
+    if kind == 0:
+        # k isomorphic rings of size m
+        k, m = rng.choice([(2, 3), (3, 2), (2, 4)])
+        for c in range(k):
+            for i in range(m):
+                lines.append(f"_:r{c}x{i} <{p}> _:r{c}x{(i + 1) % m} .\n")
+    elif kind == 1:
+        # complete bipartite K(m,n)
+        m, n = rng.choice([(2, 2), (2, 3), (3, 3)])
+        for i in range(m):
+            for j in range(n):
+                lines.append(f"_:a{i} <{p}> _:b{j} .\n")
+    elif kind == 2:
+        # two rings joined by a single asymmetric edge
+        m = rng.choice([3, 4])
+        for i in range(m):
+            lines.append(f"_:u{i} <{p}> _:u{(i + 1) % m} .\n")
+            lines.append(f"_:v{i} <{p}> _:v{(i + 1) % m} .\n")
+        lines.append(f"_:u0 <{EX}bridge> _:v0 .\n")
+    else:
+        # star + ring sharing the hub
+        m = rng.choice([3, 4])
+        for i in range(m):
+            lines.append(f"_:h <{p}> _:s{i} .\n")
+            lines.append(f"_:s{i} <{p}> _:s{(i + 1) % m} .\n")
+    return "".join(lines)
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_hard_symmetric_graphs_kernel_equals_spec(seed):
+    import random as _random
+
+    rng = _random.Random(210_000 + seed)
+    nq = _hard_graph_nq(rng)
+    labels = sorted(set(re.findall(r"_:([A-Za-z0-9]+)", nq)))
+    quads = parse(nq)
+    base = canonize(quads, max_work_factor=float("inf"))
+    assert base == _spec_canonize(quads), nq
+    assert canonical_id_map(quads, max_work_factor=float("inf")) == \
+        _SpecCanonicalizer(_to_tuples(quads)).run(), nq
+    for _ in range(4):
+        perm = list(labels)
+        rng.shuffle(perm)
+        variant = _relabel(nq, {a: f"_:{b}" for a, b in zip(labels, perm)})
+        assert canonize(parse(variant),
+                        max_work_factor=float("inf")) == base, nq
