@@ -330,16 +330,33 @@ def canonize(doc, options: dict | None = None) -> str:
 
 
 def _relabel_blank_nodes(element, issuer: IdentifierIssuer):
-    """util.relabelBlankNodes parity (lib/util.js:424-445)."""
+    """util.relabelBlankNodes parity (lib/util.js:431-455):
+    - @list objects recurse into @list ONLY (no blank check)
+    - isBlankNode uses the JS rule: an @id that is NOT a string (null,
+      number) counts as blank, and @id-LESS node objects get an @id
+      ASSIGNED (issuer.getId(undefined) -> fresh unrecorded label) —
+      this is why a null-@id graph node survives the MERGE path
+      (relabel runs before the node map) while flatten/toRDF skip it
+      (r5 merge-battery find)
+    - keys recurse in SORTED order (issuance sequence parity)"""
     if isinstance(element, list):
         return [_relabel_blank_nodes(e, issuer) for e in element]
     if isinstance(element, dict):
-        out = {}
-        for k, v in element.items():
-            if k == "@id" and isinstance(v, str) and v.startswith("_:"):
-                out[k] = issuer.get_id(v)
-            else:
-                out[k] = _relabel_blank_nodes(v, issuer)
+        if "@list" in element:
+            out = dict(element)
+            out["@list"] = _relabel_blank_nodes(element["@list"], issuer)
+            return out
+        out = dict(element)
+        if ("@id" in element and (not isinstance(element["@id"], str)
+                                  or element["@id"].startswith("_:"))) or \
+           ("@id" not in element
+                and not ("@value" in element or "@set" in element)):
+            old = element.get("@id")
+            # JS getId: falsy `old` issues fresh WITHOUT recording
+            out["@id"] = issuer.get_id(old if old else None)
+        for k in sorted(element.keys()):
+            if k != "@id":
+                out[k] = _relabel_blank_nodes(element[k], issuer)
         return out
     return element
 

@@ -4283,3 +4283,54 @@ def test_grammar18_error_parity_matches_reference(oracle, op, doc):
         assert (e.code or e.name or "") == (ref.get("code") or ""), (
             f"mine code={e.code!r} ref code={ref.get('code')!r} "
             f"(ref msg={ref.get('message')!r})")
+
+
+MERGE_PAIRS = [(i, j) for i in range(0, 60, 7) for j in range(3, 60, 11)][:25]
+
+
+@pytest.mark.parametrize("pair_i", range(len(MERGE_PAIRS)),
+                         ids=[f"mg{i}" for i in range(len(MERGE_PAIRS))])
+def test_merge_grammar_pairs_match_reference(oracle, pair_i):
+    """jsonld.merge over PAIRS of grammar-14/16 documents — multi-doc
+    blank-node relabeling + node-map union across the container/
+    @included corpus (the existing merge battery is 3 curated cases)."""
+    from jsonld_js_spark.kernel import api
+
+    i, j = MERGE_PAIRS[pair_i]
+    docs = [GRAMMAR14[i], GRAMMAR16[j % len(GRAMMAR16)]]
+    ref = oracle.call("merge", docs=docs)
+    try:
+        mine = api.merge(docs, None, {})
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok"
+
+
+@pytest.mark.parametrize("doc_i", range(0, 60, 3),
+                         ids=[f"ff{i}" for i in range(0, 60, 3)])
+def test_grammar14_flatten_idempotent_like_reference(oracle, doc_i):
+    """Re-FLATTEN each engine's own flattened output: flattened docs
+    (@graph arrays of reference-only nodes, bnode-labeled) are another
+    input distribution the grammars never produce directly."""
+    from jsonld_js_spark.kernel import flatten as k_flat
+
+    doc = GRAMMAR14[doc_i]
+    ref1 = oracle.call("flatten", doc=doc)
+    try:
+        mine1 = k_flat(doc)
+    except JsonLdError:
+        assert not ref1["ok"]
+        return
+    assert ref1["ok"]
+    ref2 = oracle.call("flatten", doc=ref1["result"])
+    try:
+        mine2 = k_flat(mine1)
+        assert ref2["ok"], f"reference errored on re-flatten: {ref2}"
+        assert deep_eq(mine2, ref2["result"]), (
+            f"mine={json.dumps(mine2, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref2['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref2["ok"], f"we errored ({e.code}) on re-flatten but ref ok"
