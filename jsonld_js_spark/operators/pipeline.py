@@ -108,6 +108,10 @@ def turn_to_quads(conv_id: str, turn_idx: int, role: str, text: str,
             doc = json.loads(text)
         except ValueError:
             doc = None
+        except RecursionError:
+            # a structurally-too-deep text is as unparseable as invalid
+            # JSON: fall back to the envelope doc, never the executor
+            doc = None
     else:
         doc = None
     if doc is None:
@@ -133,6 +137,18 @@ def turn_to_quads(conv_id: str, turn_idx: int, role: str, text: str,
     except JsonLdError as e:
         events.append({"code": e.code or e.name, "level": "error",
                        "message": e.message})
+        return [], events
+    except RecursionError:
+        # the 100-TB failure mode's sibling to the canonize work
+        # factor: ONE pathologically deep document (a parsed JSON tree
+        # deeper than the interpreter stack) must degrade to a
+        # per-document warning, not kill the task (and, after retries,
+        # the job). The reference crashes outright here (RangeError:
+        # call stack) — resilience is engine-side by design.
+        events.append({"code": "document depth exceeded",
+                       "level": "error",
+                       "message": "document nesting exceeds the "
+                                  "processing depth limit"})
         return [], events
     return quads, events
 

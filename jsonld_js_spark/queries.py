@@ -1687,6 +1687,51 @@ FROM documents
 """
 
 
+def kg_extract_poison_depth(spark, sf_dir):
+    """The depth sibling of kg_canonize_poison: one pathologically
+    NESTED document (depth 50,000 — beyond any configured Python
+    recursion limit, so the regime is pinned: json.loads rejects it)
+    per 53 docs. The engine must degrade it per-document — the
+    structurally-unparseable text falls back to the ENVELOPE doc
+    (same contract as invalid JSON, 5 envelope triples) — while every
+    clean document extracts its 2 embedded-doc triples. No executor
+    crash, no task retry storm: the failure mode that kills a 100-TB
+    job after 4 retries. Row-count oracle pins both sides."""
+    from .operators.pipeline import extract_triples
+
+    d = load(spark, sf_dir, "documents")
+    clean_text = F.concat(
+        F.lit('{"@context":{"@vocab":"https://example.org/vocab#"},'
+              '"@id":"https://example.org/doc/'),
+        F.col("doc_id"),
+        F.lit('","knows":{"name":"K'), F.col("doc_id"), F.lit('"}}'))
+    deep_text = F.concat(
+        F.lit('{"@context":{"n":"https://example.org/vocab#n"},'),
+        F.repeat(F.lit('"n":{'), 50000),
+        F.lit('"@id":"https://example.org/deep"'),
+        F.repeat(F.lit('}'), 50000), F.lit('}'))
+    is_poison = F.col("doc_id") % 53 == 0
+    tx = d.select(
+        F.concat(F.lit("dp-"), F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.when(is_poison, deep_text).otherwise(clean_text).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    ex = extract_triples(tx)
+    return (ex.groupBy("conv_id")
+            .agg(F.sum(F.when(F.col("kind") == "triple", 1).otherwise(0))
+                 .alias("n_triples")))
+
+
+ORACLE_KG_POISON_DEPTH = """
+SELECT 'dp-' || doc_id AS conv_id,
+       CAST(CASE WHEN doc_id % 53 = 0 THEN 5 ELSE 2 END AS BIGINT)
+           AS n_triples
+FROM documents
+"""
+
+
 def kg_entity_link_documents(spark, sf_dir):
     """Salted-key entity linking (operators/entity_link.py) over the
     documents table with a full hash-level oracle: the deterministic
@@ -1808,6 +1853,7 @@ QUERIES = {
     "kg_extract_documents": (kg_extract_documents, ORACLE_KG_EXTRACT_DOCS),
     "kg_canonize_documents": (kg_canonize_documents, ORACLE_KG_CANONIZE_DOCS),
     "kg_canonize_poison": (kg_canonize_poison, ORACLE_KG_CANONIZE_POISON),
+    "kg_extract_poison_depth": (kg_extract_poison_depth, ORACLE_KG_POISON_DEPTH),
     "kg_entity_link_documents": (kg_entity_link_documents,
                                  ORACLE_KG_ENTITY_LINK),
     "kg_full_build": (kg_full_build, None),

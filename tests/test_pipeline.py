@@ -216,3 +216,43 @@ def test_poison_doc_degrades_per_work_factor_and_completes_at_inf():
     labels = {q["subject"]["value"] for q in quads}
     assert len(labels) == 6
     assert all(v.startswith("c14n-") for v in labels)
+
+
+def test_deep_document_degrades_per_document():
+    """r5: one pathologically nested document must never escape
+    turn_to_quads as a RecursionError (task-kill -> retry storm ->
+    job failure at 100 TB). Two regimes: a depth past the KERNEL's
+    recursion limit but parseable as JSON degrades to a 'document
+    depth exceeded' warning; a depth past the JSON parser's limit is
+    structurally unparseable text and falls back to the envelope doc
+    (same contract as invalid JSON)."""
+    from jsonld_js_spark.operators.pipeline import turn_to_quads
+
+    def deep(depth):
+        return ('{"@context": {"n": "http://e/n"}, '
+                + '"n": {' * depth
+                + '"@id": "http://e/leaf"' + '}' * depth + '}')
+
+    # WHICH regime a given depth lands in depends on the interpreter's
+    # free stack at call time (json parser limit vs kernel limit) —
+    # the CONTRACT is that every depth degrades per-document to one of
+    # the two, never a RecursionError
+    outcomes = set()
+    for depth in (600, 5000, 20000):
+        quads, events = turn_to_quads("cd", 0, "u", deep(depth), None, None)
+        codes = [e["code"] for e in events]
+        if quads == [] and codes == ["document depth exceeded"]:
+            outcomes.add("warning")
+        elif len(quads) == depth and events == []:
+            # interpreter stack was deep enough: full processing (one
+            # n-edge per level) is the best outcome of all
+            outcomes.add("processed")
+        elif len(quads) == 5 and events == []:
+            outcomes.add("envelope")
+            texts = [q["object"]["value"] for q in quads
+                     if q["object"].get("termType") == "Literal"]
+            assert any(v.startswith('{"@context"') for v in texts)
+        else:
+            raise AssertionError((depth, len(quads), codes))
+    # depth 20000 is beyond any parser stack: the envelope path ran
+    assert "envelope" in outcomes
