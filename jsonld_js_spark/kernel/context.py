@@ -572,7 +572,14 @@ def _process_context_impl(active_ctx: dict, local_ctx, options: dict | None = No
                     "absolute IRI.", "invalid vocab mapping")
             else:
                 # may be relative: resolve against @vocab then @base (1.1)
-                rval["@vocab"] = expand_iri(rval, vocab, vocab=True, base=True)
+                expanded_vocab = expand_iri(rval, vocab, vocab=True, base=True)
+                if not is_absolute_iri(expanded_vocab):
+                    # lib/context.js:230-247: a relative result WARNS
+                    # (1.0 raised above) and applies anyway
+                    emit(options or {}, "relative @vocab reference",
+                         "Relative @vocab reference found.",
+                         vocab=expanded_vocab)
+                rval["@vocab"] = expanded_vocab
 
         if "@language" in ctx:
             lang = ctx["@language"]

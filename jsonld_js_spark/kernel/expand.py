@@ -307,7 +307,12 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
             if expanded_property == "@id":
                 if isinstance(value, str):
                     expanded_id = expand_iri(active_ctx, value, base=True)
-                    if isinstance(expanded_id, str) and \
+                    if expanded_id is None:
+                        # keyword-shaped @id value in DATA position:
+                        # warn and drop (lib/expand.js:578-594)
+                        _warn(options, "reserved @id value",
+                              "Reserved @id found.", id=value)
+                    elif isinstance(expanded_id, str) and \
                             not expanded_id.startswith("_:") and \
                             not is_absolute_iri(expanded_id):
                         _warn(options, "relative @id reference",
@@ -660,7 +665,14 @@ def _expand_value(active_ctx, active_property, value, options):
     mapping = active_ctx["mappings"].get(active_property) or {}
     t = mapping.get("@type")
     if t == "@id" and isinstance(value, str):
-        return {"@id": expand_iri(active_ctx, value, base=True)}
+        expanded_value = expand_iri(active_ctx, value, base=True)
+        if expanded_value is None and looks_like_keyword(value):
+            # keyword-shaped value under @type:@id coercion: warn,
+            # keep the null @id (lib/expand.js:1074-1092; details.id
+            # is the PROPERTY there, not the value)
+            _warn(options, "reserved @id value", "Reserved @id found.",
+                  id=active_property)
+        return {"@id": expanded_value}
     if t == "@vocab" and isinstance(value, str):
         return {"@id": expand_iri(active_ctx, value, vocab=True, base=True)}
     if is_keyword(active_property):

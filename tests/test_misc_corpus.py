@@ -147,3 +147,94 @@ def test_misc_corpus_expand_idempotent_like_reference(oracle, doc_i):
             f"ref ={json.dumps(ref2['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref2["ok"], f"we errored ({e}) on re-expand but ref ok"
+
+
+from tests.misc_replay import mine_replay_cases  # noqa: E402
+
+REPLAY_CASES, REPLAY_SKIPPED = (
+    mine_replay_cases(["/root/reference/tests/misc.js",
+                       "/root/reference/tests/graph-container.js"])
+    if os.path.exists(REF_MISC) else ([], 0))
+
+
+def test_replay_miner_yield():
+    # the op-faithful miner must keep most cases (skips are counted)
+    assert len(REPLAY_CASES) >= 80, (len(REPLAY_CASES), REPLAY_SKIPPED)
+
+
+@pytest.mark.parametrize("case_i", range(len(REPLAY_CASES)),
+                         ids=[f"rp{i}" for i in range(len(REPLAY_CASES))])
+def test_misc_replay_matches_reference(oracle, case_i):
+    """Op-FAITHFUL replay of the reference's own misc.js cases: same
+    op, same options (skipExpansion etc.), event-code multiset parity,
+    plus the safe-mode halves (testSafe: safe:true must behave
+    identically; testNotSafe: safe:true must error on BOTH sides)."""
+    from collections import Counter
+
+    case = REPLAY_CASES[case_i]
+    op, doc = case["op"], case["doc"]
+    opts = dict(case.get("options", {}))
+
+    def run_ref(extra=None):
+        o = {**opts, **(extra or {})}
+        kw = {"options": o} if o else {}
+        if op == "fromRDF":
+            return oracle.call("fromRDF", dataset=doc,
+                               collectEvents=True, **kw)
+        if op == "compact":
+            return oracle.call("compact", doc=doc,
+                               ctx=case.get("ctx") or {},
+                               collectEvents=True, **kw)
+        return oracle.call(op, doc=doc, collectEvents=True, **kw)
+
+    def run_mine(extra=None):
+        kopts = {**opts, **(extra or {}), "events": []}
+        if op == "expand":
+            out = api.expand(doc, kopts)
+        elif op == "toRDF":
+            out = api.to_rdf(doc, {"format": "application/n-quads",
+                                   **kopts})
+        elif op == "fromRDF":
+            out = api.from_rdf(doc, kopts)
+        elif op == "compact":
+            out = api.compact(doc, case.get("ctx") or {}, kopts)
+        elif op == "flatten":
+            out = api.flatten(doc, None, kopts)
+        else:
+            pytest.skip(f"op {op} not replayable")
+        return out, kopts["events"]
+
+    ref = run_ref()
+    try:
+        mine, events = run_mine()
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        if op == "toRDF":
+            assert mine == ref["result"], \
+                f"mine={mine!r}\nref={ref['result']!r}"
+        else:
+            assert deep_eq(mine, ref["result"]), (
+                f"mine={json.dumps(mine, sort_keys=True)}\n"
+                f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+        assert Counter(e["code"] for e in events) == \
+            Counter(e["code"] for e in ref.get("events", [])), (
+            [e["code"] for e in events],
+            [e["code"] for e in ref.get("events", [])])
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok: {ref}"
+
+    if case.get("testSafe"):
+        ref_s = run_ref({"safe": True})
+        try:
+            mine_s, _ = run_mine({"safe": True})
+            assert ref_s["ok"], f"safe: reference errored, we didn't: {ref_s}"
+            if op == "toRDF":
+                assert mine_s == ref_s["result"]
+            else:
+                assert deep_eq(mine_s, ref_s["result"])
+        except JsonLdError as e:
+            assert not ref_s["ok"], f"safe: we errored ({e.code}), ref ok"
+    if case.get("testNotSafe"):
+        ref_s = run_ref({"safe": True})
+        assert not ref_s["ok"], f"notSafe: reference stayed ok: {ref_s}"
+        with pytest.raises(JsonLdError):
+            run_mine({"safe": True})
