@@ -108,19 +108,27 @@ def mine_replay_cases(paths: list[str]) -> tuple[list[dict], int]:
             scope_start = src.rfind("it(", 0, m.start())
             scope = src[scope_start:m.start()]
 
-            def resolve(name: str):
-                decls = list(re.finditer(
-                    rf"const {re.escape(name)} =\s*", scope))
-                if not decls:
+            def resolve(name: str, _depth=0):
+                if _depth > 3:
                     return None
-                start = decls[-1].end()
-                if start >= len(scope) or scope[start] not in "{[\"'0123456789tfn":
-                    return None
-                try:
-                    val, _ = _DECODER.raw_decode(scope[start:])
-                    return val
-                except ValueError:
-                    return None
+                # nearest decl in the it( scope, else file-wide
+                # (shared corpus consts like _json_dir_*)
+                for hay in (scope, src):
+                    decls = list(re.finditer(
+                        rf"const {re.escape(name)} =\s*", hay))
+                    if not decls:
+                        continue
+                    start = decls[-1].end()
+                    rest = hay[start:]
+                    am = re.match(r"([A-Za-z_$][\w$]*);", rest)
+                    if am:  # alias of another const
+                        return resolve(am.group(1), _depth + 1)
+                    try:
+                        val, _ = _DECODER.raw_decode(rest)
+                        return val
+                    except ValueError:
+                        return None
+                return None
 
             im = re.search(r"input:\s*([A-Za-z_$][\w$]*)", body)
             input_name = im.group(1) if im else (
