@@ -313,8 +313,10 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
                         _warn(options, "reserved @id value",
                               "Reserved @id found.", id=value)
                     elif isinstance(expanded_id, str) and \
-                            not expanded_id.startswith("_:") and \
                             not is_absolute_iri(expanded_id):
+                        # the isAbsolute regex itself accepts _:label
+                        # (the `|_` scheme branch) but rejects labels
+                        # with whitespace — '_: x' WARNS (r5 probe)
                         _warn(options, "relative @id reference",
                               f"Relative @id reference found: {expanded_id}")
                     _add_value(rval, "@id", expanded_id, as_array=False)

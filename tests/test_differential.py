@@ -4334,3 +4334,34 @@ def test_grammar14_flatten_idempotent_like_reference(oracle, doc_i):
             f"ref ={json.dumps(ref2['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref2["ok"], f"we errored ({e.code}) on re-flatten but ref ok"
+
+
+ODD_ID_FORMS = ["_:", "_:b", "_: x", "_:b:c", "_:b#f", "_:-x", "_:b..",
+                "_:0", "::", ":", ":rel", "a:", "%20", "urn:", "urn:x"]
+
+
+@pytest.mark.parametrize("idv", ODD_ID_FORMS,
+                         ids=[f"oid{i}" for i in range(len(ODD_ID_FORMS))])
+def test_odd_id_forms_match_reference(oracle, idv):
+    """Degenerate @id shapes (bare '_:', whitespace bnode labels,
+    scheme-only IRIs, lone colons): result AND event parity — '_: x'
+    WARNS 'relative @id reference' because the isAbsolute regex's
+    [^\\s]* tail rejects whitespace even under the `_` scheme branch
+    (r5 probe find)."""
+    from collections import Counter
+
+    from jsonld_js_spark.kernel import api
+
+    doc = {"@id": idv, "http://e/q": "z"}
+    ref = oracle.call("expand", doc=doc, collectEvents=True)
+    kopts: dict = {"events": []}
+    try:
+        mine = api.expand(doc, kopts)
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+        assert Counter(e["code"] for e in kopts["events"]) == \
+            Counter(e["code"] for e in ref.get("events", []))
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok"
