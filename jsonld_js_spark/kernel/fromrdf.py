@@ -75,9 +75,12 @@ def _rdf_to_object(o: dict, use_native_types: bool, rdf_direction: str | None,
         elif dt == C.XSD_INTEGER:
             if _js_is_numeric(value):
                 i = _js_parse_int(value)
-                if i is not None and str(i) == value:
-                    rval["@value"] = i
-                # else: string value kept, no @type (reference quirk)
+                if i is not None and _js_to_fixed0(i) == value:
+                    rval["@value"] = int(i)
+                # else: string value kept, no @type (reference quirk —
+                # incl. integers past 2^53, whose parseInt DOUBLE fails
+                # the toFixed(0) round-trip: '9007199254740993' stays a
+                # string while Python's exact int would round-trip)
             else:
                 rval["@type"] = dt
         elif dt == C.XSD_DOUBLE:
@@ -134,9 +137,20 @@ def _js_is_numeric(v: str) -> bool:
 
 
 def _js_parse_int(v: str):
-    """JS parseInt(v, 10): integer value of the leading digit run."""
+    """JS parseInt(v, 10): the leading digit run, as the DOUBLE JS
+    returns (digits beyond 2^53 round — the toFixed round-trip check
+    then rejects them)."""
     m = re.match(r"^\s*([+-]?\d+)", v)
-    return int(m.group(1)) if m else None
+    return float(int(m.group(1))) if m else None
+
+
+def _js_to_fixed0(f: float) -> str:
+    """JS Number.toFixed(0) for an INTEGRAL double: its exact decimal
+    form, except |f| >= 1e21 falls back to String(f) exponential
+    notation (which can never equal an all-digits literal)."""
+    if abs(f) >= 1e21:
+        return "\x00never-matches"
+    return str(int(f))
 
 
 def _js_parse_float(v: str) -> float:

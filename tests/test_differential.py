@@ -4365,3 +4365,46 @@ def test_odd_id_forms_match_reference(oracle, idv):
             Counter(e["code"] for e in ref.get("events", []))
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference ok"
+
+
+NATIVE_TYPE_LITERALS = [
+    ("integer", ["1", "00012", "-0", "1e3", "9007199254740993",
+                 "9007199254740992", "abc", " 1", "1.5", "",
+                 "12345678901234567890123456789", "+7", "007"]),
+    ("double", ["1.5", "NaN", "INF", "-INF", "1e400", "0.1", "abc",
+                "1E2", "-0.0", "", "5e-324"]),
+    ("boolean", ["true", "false", "TRUE", "1", "0", "yes", ""]),
+]
+NATIVE_TYPE_CASES = [(dt, v) for dt, vals in NATIVE_TYPE_LITERALS
+                     for v in vals]
+
+
+@pytest.mark.parametrize("case_i", range(len(NATIVE_TYPE_CASES)),
+                         ids=[f"nt{i}" for i in range(len(NATIVE_TYPE_CASES))])
+def test_use_native_types_coercion_matches_reference(oracle, case_i):
+    """useNativeTypes literal coercion corners (lib/fromRdf.js:345-
+    377): parseInt is a DOUBLE, so integers past 2^53 fail the
+    toFixed(0) round-trip and stay STRING @values with NO @type
+    (r5 probe find — Python's exact int would wrongly round-trip);
+    booleans accept only 'true'/'1'/'false'/'0'; non-numerics keep
+    their @type."""
+    from jsonld_js_spark.kernel import api
+
+    kind, v = NATIVE_TYPE_CASES[case_i]
+    dt = f"http://www.w3.org/2001/XMLSchema#{kind}"
+    quads = [{"subject": {"termType": "NamedNode", "value": "http://e/s"},
+              "predicate": {"termType": "NamedNode", "value": "http://e/p"},
+              "object": {"termType": "Literal", "value": v,
+                         "datatype": {"termType": "NamedNode", "value": dt},
+                         "language": ""},
+              "graph": {"termType": "DefaultGraph", "value": ""}}]
+    ref = oracle.call("fromRDF", dataset=quads,
+                      options={"useNativeTypes": True})
+    try:
+        mine = api.from_rdf(quads, {"useNativeTypes": True})
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok"
