@@ -56,7 +56,13 @@ def _is_double_value(v) -> bool:
         from .jcs import _fmt_number
         return "." in _fmt_number(v)
     if isinstance(v, int):
-        return abs(v) >= 1e21
+        # classify on the float64-ROUNDED magnitude: the reference's
+        # ints are doubles already, so 999999999999999999999 (exact
+        # < 1e21, rounds to exactly 1e21) takes the DOUBLE path
+        try:
+            return abs(float(v)) >= 1e21
+        except OverflowError:
+            return True
     return False
 
 
@@ -204,7 +210,13 @@ def _object_to_rdf(dataset, item, issuer, graph_term, options) -> dict | None:
             obj["value"] = double_canonical(float(value))
             obj["datatype"]["value"] = datatype or C.XSD_DOUBLE
         elif isinstance(value, (int, float)) and not isinstance(value, bool):
-            iv = int(value)
+            # the reference's numbers arrive through JSON.parse as
+            # DOUBLES: integers past 2^53 are already rounded before
+            # toFixed(0) serializes them ('9007199254740993' emits as
+            # ...992). Round through float64 first; the integer path
+            # only sees |v| < 1e21 (larger ints take the double path),
+            # so the conversion cannot overflow. (r5 probe find)
+            iv = int(float(value))
             # JS toFixed(0) keeps the sign when a NONZERO negative
             # rounds to zero — (-1e-7).toFixed(0) === "-0" — but an
             # actual negative zero prints unsigned ((-0).toFixed(0)

@@ -4408,3 +4408,30 @@ def test_use_native_types_coercion_matches_reference(oracle, case_i):
             f"ref ={json.dumps(ref['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference ok"
+
+
+BIG_INT_VALUES = [9007199254740993, 9007199254740992, -9007199254740993,
+                  2**60, 10**21, 10**22 + 1,
+                  123456789012345678901234567890, int(1e21), -(2**63),
+                  2**64, 2**53, 2**53 + 2, -2**53 - 1,
+                  999999999999999999999, -999999999999999999999,
+                  10**20 + 3]
+
+
+@pytest.mark.parametrize("v_i", range(len(BIG_INT_VALUES)),
+                         ids=[f"bi{i}" for i in range(len(BIG_INT_VALUES))])
+def test_big_integer_tordf_matches_reference(oracle, v_i):
+    """JSON integers at/past the double boundary through toRDF: the
+    reference's numbers are float64 from JSON.parse, so 2^53+1 emits
+    ROUNDED ('...992'^^xsd:integer) and an exact int just below 1e21
+    whose double rounds to 1e21 takes the DOUBLE path
+    ('1.0E21'^^xsd:double). Python exact ints must round through
+    float64 for both the classification and the serialization
+    (r5 probe finds)."""
+    from jsonld_js_spark.kernel import api
+
+    doc = {"@context": {"@vocab": "http://v/"}, "p": BIG_INT_VALUES[v_i]}
+    ref = oracle.call("toRDF", doc=doc)
+    assert ref["ok"], ref
+    mine = api.to_rdf(doc, {"format": "application/n-quads"})
+    assert mine == ref["result"], f"mine={mine!r}\nref={ref['result']!r}"
