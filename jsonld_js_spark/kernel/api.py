@@ -202,7 +202,7 @@ def frame(doc, frame_doc, options: dict | None = None):
     frame_ctx = frame_doc.get("@context", {}) if isinstance(frame_doc, dict) else {}
 
     expanded = expand(doc, options)
-    expanded_frame = expand(frame_doc, {**options, "frameExpansion": True,
+    expanded_frame = expand(frame_doc, {**options, "_frame_expansion": True,
                                         "keepFreeFloatingNodes": True})
 
     # frame the default graph iff the frame mentions @graph (jsonld.js:476-479)

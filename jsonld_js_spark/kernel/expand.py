@@ -63,7 +63,7 @@ def expand(active_ctx: dict, element, options: dict, *,
         return None
 
     if active_property == "@default":
-        options = {**options, "frameExpansion": False}
+        options = {**options, "_frame_expansion": False}
 
     prop_mapping = active_ctx["mappings"].get(active_property) if active_property else None
 
@@ -320,7 +320,7 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
                         _warn(options, "relative @id reference",
                               f"Relative @id reference found: {expanded_id}")
                     _add_value(rval, "@id", expanded_id, as_array=False)
-                elif options.get("frameExpansion") and (
+                elif options.get("_frame_expansion") and (
                         isinstance(value, dict) and not value or isinstance(value, list)):
                     rval["@id"] = value if isinstance(value, list) else []
                 else:
@@ -354,14 +354,14 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
                     rval["@value"] = value
                 else:
                     _add_value(rval, "@value", value,
-                               as_array=bool(options.get("frameExpansion")))
+                               as_array=bool(options.get("_frame_expansion")))
                 continue
             if expanded_property == "@language":
                 if value is None:
                     # null @language expands as if absent (lib/expand.js:713-716)
                     continue
                 if not isinstance(value, str):
-                    if options.get("frameExpansion") and isinstance(value, (list, dict)):
+                    if options.get("_frame_expansion") and isinstance(value, (list, dict)):
                         rval["@language"] = value
                         continue
                     raise syntax_error("@language must be a string.", "invalid language-tagged string")
@@ -413,10 +413,19 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
                 e = expand(active_ctx, value, options, active_property=active_property)
                 rval["@set"] = e
                 continue
-            if options.get("frameExpansion") and expanded_property in (
-                    "@default", "@embed", "@explicit", "@omitDefault", "@requireAll"):
-                rval[expanded_property] = expand(
-                    active_ctx, value, options, active_property=expanded_property)
+            if expanded_property in ("@default", "@embed", "@explicit",
+                                     "@omitDefault", "@requireAll"):
+                # framing keywords take the reference's GENERIC path
+                # UNCONDITIONALLY — even in plain expansion a document
+                # carrying @default/@explicit keeps them, array-wrapped
+                # (no special branch in lib/expand.js; r5 probe find).
+                # activeProperty is the RAW key: the isFrame reset at
+                # lib/expand.js:84 matches '@default' literally, so an
+                # ALIASED default key does not disable framing inside.
+                e = expand(active_ctx, value, options, active_property=key)
+                if e is None:
+                    continue
+                _add_value(rval, expanded_property, e, as_array=True)
                 continue
             # other keywords with no value contribution
             continue
@@ -469,7 +478,7 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
                               else [expanded_value]}
         if "@graph" in container and not ("@id" in container or "@index" in container):
             ev = expanded_value if isinstance(expanded_value, list) else [expanded_value]
-            if not options.get("frameExpansion"):
+            if not options.get("_frame_expansion"):
                 # graph conversion drops unsafe items first (empty,
                 # @value-/@list-bearing, lone @id) and skips the whole
                 # property when nothing survives — lib/expand.js:952-968
@@ -504,7 +513,7 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
                 active_ctx.get("processingMode") != "json-ld-1.0":
             pass
         elif isinstance(unexpanded_value, (dict, list)) and \
-                not options.get("frameExpansion"):
+                not options.get("_frame_expansion"):
             raise syntax_error(
                 '"@value" value must not be an object or an array.',
                 "invalid value object value")
@@ -537,7 +546,7 @@ def _expand_type(active_ctx, type_scoped_ctx, value, rval, options):
                 _warn(options, "relative @type reference",
                       "Relative @type reference found.", type=v)
             out.append(ve)
-        elif options.get("frameExpansion") and isinstance(v, dict):
+        elif options.get("_frame_expansion") and isinstance(v, dict):
             if not v:
                 out.append(v)
             elif "@default" in v:
@@ -558,7 +567,7 @@ def _expand_type(active_ctx, type_scoped_ctx, value, rval, options):
     ex = [] if existing is None else (
         existing if isinstance(existing, list) else [existing])
     combined = ex + out
-    if options.get("frameExpansion"):
+    if options.get("_frame_expansion"):
         rval["@type"] = combined
     elif not combined:
         rval.pop("@type", None)

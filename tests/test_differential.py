@@ -4435,3 +4435,40 @@ def test_big_integer_tordf_matches_reference(oracle, v_i):
     assert ref["ok"], ref
     mine = api.to_rdf(doc, {"format": "application/n-quads"})
     assert mine == ref["result"], f"mine={mine!r}\nref={ref['result']!r}"
+
+
+FRAMING_KW_CASES = []
+for _kw in ("@default", "@embed", "@explicit", "@omitDefault",
+            "@requireAll"):
+    for _val in ("dv", True, None, ["a", "b"], {"@id": "http://e/x"},
+                 {"@value": "v"}, {"nested": "n"}, [], {}, "@once"):
+        FRAMING_KW_CASES.append((_kw, _val))
+
+
+@pytest.mark.parametrize("case_i", range(len(FRAMING_KW_CASES)),
+                         ids=[f"fk{i}" for i in range(len(FRAMING_KW_CASES))])
+@pytest.mark.parametrize("nested", [False, True])
+def test_framing_keywords_in_plain_expansion(oracle, nested, case_i):
+    """Framing keywords take the reference's GENERIC expansion path
+    UNCONDITIONALLY (no special branch in lib/expand.js): a plain
+    document carrying @default/@explicit keeps them, array-wrapped —
+    the old kernel dropped them outside frame expansion (r5 probe
+    find). Note the public expand never honors a 'frameExpansion'
+    option — the reference's isFrame is internal to jsonld.frame."""
+    from jsonld_js_spark.kernel import api
+
+    kw, val = FRAMING_KW_CASES[case_i]
+    if nested:
+        doc = {"@context": {"@vocab": "http://vfk.example/"}, "p": {kw: val}}
+    else:
+        doc = {"@context": {"@vocab": "http://vfk.example/"}, kw: val,
+               "p": "x"}
+    ref = oracle.call("expand", doc=doc)
+    try:
+        mine = api.expand(doc, {})
+        assert ref["ok"], f"reference errored but we didn't: {ref}"
+        assert deep_eq(mine, ref["result"]), (
+            f"mine={json.dumps(mine, sort_keys=True)}\n"
+            f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+    except JsonLdError as e:
+        assert not ref["ok"], f"we errored ({e.code}) but reference ok"
