@@ -32,7 +32,6 @@ KEYWORDS = frozenset(
         "@direction",
         "@embed",
         "@explicit",
-        "@first",
         "@graph",
         "@id",
         "@included",

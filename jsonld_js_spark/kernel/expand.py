@@ -69,7 +69,12 @@ def expand(active_ctx: dict, element, options: dict, *,
 
     # --- scalars -> value expansion
     if is_scalar(element):
-        if active_property is None or active_property == "@graph":
+        # lib/expand.js:96-114: the drop is gated on !insideList — a
+        # scalar INSIDE an explicit @list expands even with a null
+        # active property (top-level {"@list": "x"} then trips the
+        # set/list member validation instead of silently dropping)
+        if not inside_list and (active_property is None
+                                or active_property == "@graph"):
             _warn(options, "free-floating scalar", "Dropping free-floating scalar not in object.")
             return None
         return _expand_value(active_ctx, active_property, element, options)
@@ -335,10 +340,22 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
                 e = expand(active_ctx, value, options, active_property="@graph")
                 _add_value(rval, "@graph", e if isinstance(e, list) else [e])
                 continue
-            if expanded_property == "@included":
-                e = expand(active_ctx, value, options, active_property=None)
+            if expanded_property == "@included" and \
+                    active_ctx.get("processingMode") != "json-ld-1.0":
+                # in 1.0 mode @included has NO branch and falls to the
+                # generic keyword path below (lib/expand.js:666 guard).
+                # The recursion keeps the ENCLOSING active property
+                # (lib/expand.js:667-672): under a property, a scalar
+                # expands to a VALUE object and fails the all-subjects
+                # check — at top level it free-floating-drops instead
+                e = expand(active_ctx, value, options,
+                           active_property=active_property)
                 es = e if isinstance(e, list) else [e]
-                if not all(is_subject(x) or is_subject_reference(x) for x in es):
+                # STRICT isSubject (lib/expand.js:676): a LONE @id
+                # subject REFERENCE fails the check and errors — and a
+                # dropped (null) expansion wraps to [null], which also
+                # fails, exactly like the reference's _asArray(null)
+                if not all(is_subject(x) for x in es):
                     raise syntax_error("@included values must be node objects.", "invalid @included value")
                 _add_value(rval, "@included", es)
                 continue
@@ -407,27 +424,34 @@ def _expand_object(active_ctx, active_property, element, rval, options, *,
                 # drop emits 'object with only @list' (lib/expand.js:88-111)
                 e = expand(active_ctx, value, options, active_property=active_property,
                            inside_list=True)
+                if e is None:
+                    # null @list contributes NOTHING (the generic null
+                    # drop, lib/expand.js:941-948) — the set/list member
+                    # validation never sees the key (r5 sweep find)
+                    continue
                 rval["@list"] = e if isinstance(e, list) else [e]
                 continue
             if expanded_property == "@set":
                 e = expand(active_ctx, value, options, active_property=active_property)
-                rval["@set"] = e
-                continue
-            if expanded_property in ("@default", "@embed", "@explicit",
-                                     "@omitDefault", "@requireAll"):
-                # framing keywords take the reference's GENERIC path
-                # UNCONDITIONALLY — even in plain expansion a document
-                # carrying @default/@explicit keeps them, array-wrapped
-                # (no special branch in lib/expand.js; r5 probe find).
-                # activeProperty is the RAW key: the isFrame reset at
-                # lib/expand.js:84 matches '@default' literally, so an
-                # ALIASED default key does not disable framing inside.
-                e = expand(active_ctx, value, options, active_property=key)
                 if e is None:
                     continue
-                _add_value(rval, expanded_property, e, as_array=True)
+                rval["@set"] = e
                 continue
-            # other keywords with no value contribution
+            # EVERY remaining keyword (framing keywords @default/@embed/
+            # @explicit/@omitDefault/@requireAll, context-directive
+            # keywords @base/@vocab/@container/@prefix/@protected/
+            # @version/@preserve/@none, and 1.0-mode @included) takes
+            # the reference's GENERIC path — recursively expanded with
+            # the RAW key as active property, then array-appended
+            # (lib/expand.js:925-935,941-999: no special branch, so
+            # even plain expansion KEEPS them; r5 probe find). The
+            # isFrame reset at lib/expand.js:84 matches '@default'
+            # literally, so an ALIASED default key does not disable
+            # framing inside — hence active_property=key.
+            e = expand(active_ctx, value, options, active_property=key)
+            if e is None:
+                continue
+            _add_value(rval, expanded_property, e, as_array=True)
             continue
 
         # --- regular property

@@ -15,6 +15,7 @@ layer, SURVEY §1.6) gives globally unique labels.
 
 from __future__ import annotations
 
+from .constants import is_keyword
 from .errors import syntax_error
 from .types import is_list, is_subject, is_subject_reference, is_value
 
@@ -203,11 +204,13 @@ def _create_node_map(element, graphs, graph, issuer, name, lst):
                 raise syntax_error("Conflicting @index values.", "conflicting indexes")
             subject["@index"] = element["@index"]
             continue
-        if prop.startswith("@") and prop not in ("@type",) and prop in (
-                "@value", "@list", "@set"):
-            # copy non-@type keywords VERBATIM (lib/nodeMap.js:153-165);
-            # reachable through the top-level-@list subject-path quirk,
-            # whose '@list' items are copied WITHOUT relabeling
+        if prop != "@type" and is_keyword(prop):
+            # copy EVERY non-@type keyword VERBATIM — no recursion, no
+            # bnode relabeling (lib/nodeMap.js:153-165): framing
+            # keywords (@preserve, @default...) that survived
+            # expansion ride along as opaque values and toRDF later
+            # skips them (r5 keyword sweep find). Also reachable via
+            # the top-level-@list subject-path quirk.
             subject[prop] = element[prop]
             continue
 

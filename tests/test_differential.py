@@ -4472,3 +4472,59 @@ def test_framing_keywords_in_plain_expansion(oracle, nested, case_i):
             f"ref ={json.dumps(ref['result'], sort_keys=True)}")
     except JsonLdError as e:
         assert not ref["ok"], f"we errored ({e.code}) but reference ok"
+
+
+KW_POSITION_KWS = [
+    "@preserve", "@base", "@vocab", "@container", "@context", "@prefix",
+    "@protected", "@propagate", "@version", "@direction", "@language",
+    "@annotation", "@nest", "@none", "@any", "@null", "@import", "@first",
+    "@default", "@embed", "@explicit", "@omitDefault", "@requireAll",
+    "@json", "@index", "@list", "@set", "@reverse", "@included"]
+KW_POSITION_VALS = ["x", ["a"], {"@id": "http://e/x"}, True, None,
+                    {"@value": "v"}, [{"@id": "http://e/x"}, {"q": 1}]]
+
+
+@pytest.mark.parametrize("kw", KW_POSITION_KWS)
+@pytest.mark.parametrize("val_i", range(len(KW_POSITION_VALS)),
+                         ids=[f"v{i}" for i in range(len(KW_POSITION_VALS))])
+@pytest.mark.parametrize("nested", [False, True])
+def test_keyword_in_data_position_matches_reference(oracle, nested, val_i, kw):
+    """EVERY keyword (and keyword-shaped non-keyword) x value shapes x
+    top-level/nested, through expand + toRDF, result AND event parity.
+    This sweep drove six r5 kernel fixes: the generic keyword
+    fallthrough (context-directive + framing keywords are KEPT,
+    array-wrapped), @first is NOT a keyword, 1.0-mode @included falls
+    through, null @list/@set contribute nothing, @included requires
+    STRICT isSubject with the enclosing active property, scalars
+    inside explicit @list survive the free-floating drop, and the
+    node map copies non-@type keywords verbatim so toRDF skips them."""
+    from collections import Counter
+
+    from jsonld_js_spark.kernel import api
+
+    val = KW_POSITION_VALS[val_i]
+    V9 = "http://vkwt.example/"
+    if nested:
+        doc = {"@context": {"@vocab": V9}, "p": {kw: val}}
+    else:
+        doc = {"@context": {"@vocab": V9}, kw: val, "p": "y"}
+    for op in ("expand", "toRDF"):
+        ref = oracle.call(op, doc=doc, collectEvents=(op == "expand"))
+        kopts: dict = {"events": []}
+        try:
+            if op == "expand":
+                mine = api.expand(doc, kopts)
+            else:
+                mine = api.to_rdf(doc, {"format": "application/n-quads"})
+            assert ref["ok"], f"{op}: reference errored but we didn't: {ref}"
+            if op == "toRDF":
+                assert mine == ref["result"], \
+                    f"mine={mine!r}\nref={ref['result']!r}"
+            else:
+                assert deep_eq(mine, ref["result"]), (
+                    f"mine={json.dumps(mine, sort_keys=True)}\n"
+                    f"ref ={json.dumps(ref['result'], sort_keys=True)}")
+                assert Counter(e["code"] for e in kopts["events"]) == \
+                    Counter(e["code"] for e in ref.get("events", []))
+        except JsonLdError as e:
+            assert not ref["ok"], f"{op}: we errored ({e.code}) but ref ok"
