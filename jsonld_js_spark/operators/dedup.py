@@ -20,6 +20,9 @@ search; at scale the hottest bucket is exactly the exact-dup class).
 
 from __future__ import annotations
 
+import math
+from fractions import Fraction
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -32,6 +35,67 @@ def _hash60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def minhash_band_structs(toks_col, n_minhash: int, n_bands: int):
+    """array<struct<band,sig>> of LSH band signatures computed entirely
+    PER ROW — no explode, no shuffle, no aggregation (the old shape
+    exploded every token into a corpus x tokens row stream and hash-
+    aggregated it back; at scale that is the pipeline's biggest
+    exchange, and it carries pure intermediate state). Bit-for-bit the
+    same signatures: token -> 60-bit compaction, TWO minhash functions
+    per md5 (hex chars 1-15 / 16-30), band sig = md5 of the '|'-joined
+    minhash decimals.
+
+    Values are let-bound via single-element-array transforms (the
+    simsearch._signatures trick) so the token-hash array and the
+    minhash array are each computed ONCE per row — named intermediate
+    columns get inlined by CollapseProject and recomputed per use."""
+    half = (n_minhash + 1) // 2
+    rpb = n_minhash // n_bands
+    th = F.transform(toks_col, lambda t: _hash60(t).cast("string"))
+
+    def sigs_from_mhs(m):
+        out = []
+        for b in range(n_bands):
+            parts = [F.element_at(m, b * rpb + r + 1).cast("string")
+                     for r in range(rpb)]
+            out.append(F.struct(F.lit(b).alias("band"),
+                                F.md5(F.concat_ws("|", *parts)).alias("sig")))
+        return F.array(*out)
+
+    def mhs_from_th(thv):
+        gs = F.transform(
+            F.sequence(F.lit(0), F.lit(half - 1)),
+            lambda g: F.transform(
+                thv, lambda h: F.md5(F.concat(F.lit("g"), g.cast("string"),
+                                              F.lit("|"), h))))
+        return F.flatten(F.transform(gs, lambda hx: F.array(
+            F.array_min(F.transform(
+                hx, lambda x: F.conv(F.substring(x, 1, 15), 16, 10)
+                .cast("long"))),
+            F.array_min(F.transform(
+                hx, lambda x: F.conv(F.substring(x, 16, 15), 16, 10)
+                .cast("long"))))))
+
+    return F.flatten(F.transform(
+        F.array(th),
+        lambda thv: F.flatten(F.transform(
+            F.array(mhs_from_th(thv)),
+            lambda m: sigs_from_mhs(m)))))
+
+
+def collapse_exact_shapes(d: DataFrame) -> DataFrame:
+    """(doc_id, toks) -> one min-doc_id representative per exact token
+    SET (shape): ONE hash aggregation (partial/map-side, shuffle is
+    unique shapes only). The old window shape (min over
+    partitionBy(shape) + filter) shuffled AND sorted the full corpus."""
+    shape = F.md5(F.concat_ws("\x1f", F.array_sort("toks"))).alias("shape")
+    return (d.select(shape, "doc_id", "toks")
+            .groupBy("shape")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.min_by("toks", "doc_id").alias("toks"))
+            .select("doc_id", "toks"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, *, n_minhash: int = 12,
                       n_bands: int = 3, threshold: float = 0.5,
                       max_bucket: int | None = None,
@@ -41,41 +105,23 @@ def minhash_lsh_pairs(docs: DataFrame, *, n_minhash: int = 12,
     buckets. ``docs`` carries one row per document with a distinct
     token array in ``toks_col``."""
     release_caches()  # drop the previous pipeline's scoped caches
-    rows_per_band = n_minhash // n_bands
     d = docs.select(F.col(id_col).alias("doc_id"),
                     F.col(toks_col).alias("toks")).filter(F.size("toks") > 0)
 
-    shape = F.md5(F.concat_ws("\x1f", F.array_sort("toks"))).alias("shape")
-    reps = (d.select("doc_id", "toks", shape)
-            .withColumn("rep", F.min("doc_id").over(Window.partitionBy("shape")))
-            .filter(F.col("doc_id") == F.col("rep"))
-            .select("doc_id", "toks"))
-    reps = scoped_cache(reps)
+    reps = scoped_cache(collapse_exact_shapes(d))
 
-    # hashing cost dominates the signature build on long tokens
-    # (shingles): compact each token to a 60-bit integer ONCE, then
-    # derive TWO 60-bit minhash functions per md5 (hex chars 1-15 and
-    # 16-30), so n_minhash functions cost n/2 short-input md5s instead
-    # of n full-token md5s — all reproducible in DuckDB via
-    # substr(md5(...), off, 15)
-    tok = (reps.select("doc_id", F.explode("toks").alias("t"))
-           .select("doc_id", _hash60(F.col("t")).cast("string").alias("t")))
-    half = (n_minhash + 1) // 2
-    hs = [F.md5(F.concat(F.lit(f"g{g}|"), F.col("t"))) for g in range(half)]
-    mins = tok.groupBy("doc_id").agg(*[
-        F.min(F.conv(F.substring(hs[i // 2], 1 + 15 * (i % 2), 15),
-                     16, 10).cast("long")).alias(f"mh{i}")
-        for i in range(n_minhash)])
-    bands = []
-    for b in range(n_bands):
-        sig = F.md5(F.concat_ws(
-            "|", *[F.col(f"mh{b * rows_per_band + r}").cast("string")
-                   for r in range(rows_per_band)]))
-        bands.append(mins.select("doc_id", F.lit(b).alias("band"),
-                                 sig.alias("sig")))
-    buckets = bands[0]
-    for extra in bands[1:]:
-        buckets = buckets.unionByName(extra)
+    # signatures are pure per-row array algebra (minhash_band_structs):
+    # hashing cost is still n/2 short-input md5s per token (two minhash
+    # functions per md5, reproducible in DuckDB via substr(md5(), off,
+    # 15)), but there is no token explode and no hash aggregation — the
+    # old shape's corpus x tokens exchange is gone and the first shuffle
+    # in the pipeline is the bucket-size window
+    buckets = (reps.select(
+        "doc_id",
+        F.explode(minhash_band_structs(F.col("toks"), n_minhash, n_bands))
+        .alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig")))
 
     w = Window.partitionBy("band", "sig")
     sized = (buckets
@@ -109,7 +155,9 @@ def minhash_lsh_pairs(docs: DataFrame, *, n_minhash: int = 12,
                     F.col("b.doc_id").alias("doc2")))
     if star is not None:
         cand = cand.unionByName(star)
-    cand = cand.distinct()
+    # cand feeds THREE consumers (ids1, ids2, the verify join) — cache
+    # it or the bucket self-join + distinct re-executes per consumer
+    cand = scoped_cache(cand.distinct())
 
     # semi-join the corpus-sized rep token table down to candidate ids
     # (small post-LSH), then join UNHINTED: AQE broadcasts the shrunk
@@ -120,13 +168,29 @@ def minhash_lsh_pairs(docs: DataFrame, *, n_minhash: int = 12,
           .select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1")))
     db = (reps.join(ids2, "doc_id", "left_semi")
           .select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2")))
+    sa, sb = F.size("toks1"), F.size("toks2")
     inter = F.size(F.array_intersect("toks1", "toks2"))
-    union = F.size("toks1") + F.size("toks2") - inter
+    union = sa + sb - inter
+    # The verify threshold as ONE exact integer predicate (no float
+    # division, one intersect per candidate instead of the pushed-down
+    # float filter's two — join/filter conditions get no common-
+    # subexpression elimination):
+    #   round(I/U, 4) >= t  <=>  I/U >= (2m-1)/20000, m = ceil(t*1e4)
+    #   <=>  (20000+2m-1)*I >= (2m-1)*(sa+sb)        [U = sa+sb-I]
+    # preceded by the implied size gate (J <= min/max, so J >= t forces
+    # min*20000 >= (2m-1)*max), an O(1) compare that prunes candidates
+    # before the O(|toks|) intersect ever runs.
+    m = math.ceil(Fraction(threshold) * 10000)
+    num = 2 * m - 1  # x >= num/20000  <=>  round(x, 4) >= m/10000
+    size_gate = (F.least(sa, sb).cast("long") * 20000
+                 >= F.greatest(sa, sb).cast("long") * num)
+    int_pred = (inter.cast("long") * (20000 + num)
+                >= (sa.cast("long") + sb) * num)
     pairs = (cand.join(da, "doc1")
              .join(db, "doc2")
+             .filter(size_gate & int_pred)
              .select("doc1", "doc2",
-                     F.round(inter / union, 4).alias("jaccard"))
-             .filter(F.col("jaccard") >= threshold))
+                     F.round(inter / union, 4).alias("jaccard")))
     return pairs, dropped
 
 
@@ -193,7 +257,9 @@ def cosine_neardup_pairs(embeddings: DataFrame, *, threshold: float = 0.9,
                     F.col("b.vec_id").alias("id2")))
     if star is not None:
         cand = cand.unionByName(star)
-    cand = cand.distinct()
+    # cand feeds THREE consumers (ids1, ids2, the verify join) — cache
+    # it or the signature self-join + distinct re-executes per consumer
+    cand = scoped_cache(cand.distinct())
 
     # semi-join the corpus down to candidate ids before the verify join
     # (candidates are small post-LSH); join UNHINTED so AQE broadcasts

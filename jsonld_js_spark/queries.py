@@ -431,16 +431,36 @@ def doc_dedup_token_jaccard(spark, sf_dir):
          .filter(F.size("toks") > 0))
     a = d.alias("a")
     b = d.alias("b")
+    # sizes are O(1) lookups on the post-shuffle materialized arrays
+    # (a precomputed size COLUMN would collapse into the scan projection
+    # and re-evaluate the whole tokenize expression per row — measured
+    # slower)
+    sa, sb = F.size(F.col("a.toks")), F.size(F.col("b.toks"))
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    jac = inter / union
+    # |A∪B| = |A|+|B|-|A∩B| (distinct arrays): one O(n) intersect per
+    # pair instead of intersect + a materialized union array
+    union = sa + sb - inter
+    # The threshold as ONE exact integer predicate, ordered LAST in the
+    # join condition so the cheap conjuncts run first (a pushed-down
+    # filter on the rounded float lands FIRST in the condition and
+    # forces the intersect for every block pair — and join conditions
+    # get no common-subexpression elimination, so phrasing union via
+    # the size identity would evaluate the intersect twice):
+    #   round(I/U, 4) >= 0.8  <=>  I/U >= 0.79995 = 15999/20000
+    #   <=> 20000*I >= 15999*(sa+sb-I)  <=>  35999*I >= 15999*(sa+sb)
+    # (integer cross-multiplication; exact — no float division in the
+    # predicate at all; sizes also gate earlier: J <= min/max, so
+    # J >= 0.8 forces 5*min >= 4*max, pruning before the intersect)
     return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
                    & (F.col("a.source") == F.col("b.source"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (sa * 5 >= sb * 4)
+                   & (sb * 5 >= sa * 4)
+                   & (inter.cast("long") * 35999
+                      >= (sa.cast("long") + sb) * 15999))
             .select(F.col("a.doc_id").alias("doc1"),
                     F.col("b.doc_id").alias("doc2"),
-                    F.round(jac, 4).alias("jaccard"))
-            .filter(F.col("jaccard") >= 0.8))
+                    F.round(inter / union, 4).alias("jaccard")))
 
 
 ORACLE_DOC_JACCARD = """
@@ -491,15 +511,31 @@ def doc_dedup_ngram_jaccard(spark, sf_dir):
     d = _shingles3(load(spark, sf_dir, "documents"))
     a = d.alias("a")
     b = d.alias("b")
+    # sizes are O(1) lookups on the post-shuffle materialized arrays (a
+    # precomputed size COLUMN collapses into the scan projection and
+    # re-evaluates the whole shingle expression per row — measured 1.7x
+    # slower overall)
+    sa, sb = F.size(F.col("a.sh")), F.size(F.col("b.sh"))
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    # |A∪B| from sizes (distinct shingle arrays) — no union materialized
+    union = sa + sb - inter
+    # Threshold as ONE exact integer predicate, LAST in the condition
+    # (see doc_dedup_token_jaccard: pushed-down float filters land
+    # first and double-evaluate the intersect per pair):
+    #   round(I/U, 4) >= 0.5  <=>  I/U >= 0.49995 = 9999/20000
+    #   <=> 20000*I >= 9999*(sa+sb-I)  <=>  29999*I >= 9999*(sa+sb)
+    # with the implied size gate (J >= 0.5 forces 2*min >= max) pruning
+    # pairs before the intersect
     return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
                    & (F.col("a.source") == F.col("b.source"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (sa * 2 >= sb)
+                   & (sb * 2 >= sa)
+                   & (inter.cast("long") * 29999
+                      >= (sa.cast("long") + sb) * 9999))
             .select(F.col("a.doc_id").alias("doc1"),
                     F.col("b.doc_id").alias("doc2"),
-                    F.round(inter / union, 4).alias("jaccard"))
-            .filter(F.col("jaccard") >= 0.5))
+                    F.round(inter / union, 4).alias("jaccard")))
 
 
 ORACLE_DOC_NGRAM_JACCARD = """
@@ -543,51 +579,38 @@ def doc_dedup_minhash_lsh(spark, sf_dir):
     sharing any band signature; output verified with true token
     Jaccard >= 0.5."""
     from .operators.cachereg import release_caches, scoped_cache
+    from .operators.dedup import collapse_exact_shapes, minhash_band_structs
     release_caches()
     d = (load(spark, sf_dir, "documents")
          .select("doc_id", _tokens(F.col("text")).alias("toks"))
          .filter(F.size("toks") > 0))
-    from pyspark.sql.window import Window
-    shape = F.md5(F.concat_ws("\x1f", F.array_sort("toks"))).alias("shape")
-    # reps feeds three consumers (minhash build + both pair sides) and
-    # buckets self-joins — cache both so the doc scan + shape window
-    # run once (at 100 TB: persist(DISK_ONLY) at the same two points)
-    reps = scoped_cache(
-        d.select("doc_id", "toks", shape)
-        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("shape")))
-        .filter(F.col("doc_id") == F.col("rep"))
-        .select("doc_id", "toks"))
-    # compact tokens to 60-bit ints once, then TWO minhash functions
-    # per md5 (hex chunks 1-15 / 16-30): n/2 short-input md5s instead
-    # of n full-token md5s (mirrors operators/dedup.minhash_lsh_pairs)
-    tok = (reps.select("doc_id", F.explode("toks").alias("t"))
-           .select("doc_id", _hash60(F.col("t")).cast("string").alias("t")))
-    _half_md5 = [F.md5(F.concat(F.lit(f"g{g}|"), F.col("t")))
-                 for g in range((_N_MINHASH + 1) // 2)]
-    mins = tok.groupBy("doc_id").agg(*[
-        F.min(F.conv(F.substring(_half_md5[i // 2], 1 + 15 * (i % 2), 15),
-                     16, 10).cast("long")).alias(f"mh{i}")
-        for i in range(_N_MINHASH)])
-    rows_per_band = _N_MINHASH // _N_BANDS
-    bands = []
-    for b in range(_N_BANDS):
-        sig = F.md5(F.concat_ws(
-            "|", *[F.col(f"mh{b * rows_per_band + r}").cast("string")
-                   for r in range(rows_per_band)]))
-        bands.append(mins.select("doc_id", F.lit(b).alias("band"),
-                                 sig.alias("sig")))
-    buckets = bands[0]
-    for extra in bands[1:]:
-        buckets = buckets.unionByName(extra)
-    buckets = scoped_cache(buckets)
+    # reps feeds three consumers (signature build + both pair sides) and
+    # buckets self-joins — cache both so the doc scan + shape collapse
+    # run once (at 100 TB: persist(DISK_ONLY) at the same two points).
+    # Shape collapse is ONE hash aggregation (min/min_by), and the band
+    # signatures are pure per-row array algebra — no token explode, no
+    # corpus x tokens exchange (operators/dedup.minhash_band_structs:
+    # same 60-bit compaction + two-minhash-per-md5 construction, bit-
+    # for-bit the signatures the DuckDB oracle reproduces)
+    reps = scoped_cache(collapse_exact_shapes(d))
+    buckets = scoped_cache(
+        reps.select("doc_id",
+                    F.explode(minhash_band_structs(
+                        F.col("toks"), _N_MINHASH, _N_BANDS)).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig")))
     a = buckets.alias("a")
     b_ = buckets.alias("b")
-    cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.sig") == F.col("b.sig"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc1"),
-                    F.col("b.doc_id").alias("doc2"))
-            .distinct())
+    # cand feeds THREE consumers (ids1, ids2, the verify join) — cache
+    # it or the bucket self-join + distinct (the pipeline's biggest
+    # exchange: all hot-bucket pairs) re-executes per consumer
+    cand = scoped_cache(
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc1"),
+                F.col("b.doc_id").alias("doc2"))
+        .distinct())
     # verify with true Jaccard: |A∩B| once per pair, |A∪B| from sizes
     # (no union array materialized). The token table is first SEMI-
     # JOINED down to candidate doc_ids — candidates are small post-LSH
@@ -600,12 +623,20 @@ def doc_dedup_minhash_lsh(spark, sf_dir):
           .select(F.col("doc_id").alias("doc1"), F.col("toks").alias("toks1")))
     db = (reps.join(ids2, "doc_id", "left_semi")
           .select(F.col("doc_id").alias("doc2"), F.col("toks").alias("toks2")))
+    sa, sb = F.size("toks1"), F.size("toks2")
     inter = F.size(F.array_intersect("toks1", "toks2"))
-    union = F.size("toks1") + F.size("toks2") - inter
+    union = sa + sb - inter
+    # One exact integer predicate for the verify threshold (see
+    # operators/dedup.minhash_lsh_pairs): round(I/U,4) >= 0.5 <=>
+    # 29999*I >= 9999*(sa+sb); the implied size gate (2*min >= max)
+    # prunes candidates before the per-pair intersect
     return (cand.join(da, "doc1")
             .join(db, "doc2")
-            .select("doc1", "doc2", F.round(inter / union, 4).alias("jaccard"))
-            .filter(F.col("jaccard") >= 0.5))
+            .filter((F.least(sa, sb) * 2 >= F.greatest(sa, sb))
+                    & (inter.cast("long") * 29999
+                       >= (sa.cast("long") + sb) * 9999))
+            .select("doc1", "doc2",
+                    F.round(inter / union, 4).alias("jaccard")))
 
 
 ORACLE_DOC_MINHASH = f'''
