@@ -111,21 +111,29 @@ def _array_trie_partial_match(active_ctx, arr) -> bool:
     terminal LIST itself (JS '' / '0' / 'iri' keys) are not modeled —
     they require an element that is not a plausible @type string and
     lead the reference into its own `in`-on-primitive TypeErrors."""
-    candidates = []
-    seen: set = set()
-    for term in sorted(active_ctx["mappings"].keys(), key=_shortest_least):
-        m = active_ctx["mappings"][term]
-        if not m:
-            continue
-        mid = m.get("@id")
-        if mid is None:
-            continue
-        for one in (mid if isinstance(mid, list) else [mid]):
-            if not isinstance(one, str) or one in seen:
+    # memoized on the active context like _inverse (cleared by every
+    # ctx clone): the candidate list is a pure function of the final
+    # mappings, and rebuilding the shortest-least sort per array-iri
+    # call made repeated compactions under one context O(terms log
+    # terms) each (ADVICE r5)
+    candidates = active_ctx.get("_atrie_candidates")
+    if candidates is None:
+        candidates = []
+        seen: set = set()
+        for term in sorted(active_ctx["mappings"].keys(), key=_shortest_least):
+            m = active_ctx["mappings"][term]
+            if not m:
                 continue
-            seen.add(one)
-            if not is_keyword(one) and not term.find(":") > 0:
-                candidates.append(one)
+            mid = m.get("@id")
+            if mid is None:
+                continue
+            for one in (mid if isinstance(mid, list) else [mid]):
+                if not isinstance(one, str) or one in seen:
+                    continue
+                seen.add(one)
+                if not is_keyword(one) and not term.find(":") > 0:
+                    candidates.append(one)
+        active_ctx["_atrie_candidates"] = candidates
     match = False
     for i in range(len(arr) - 1):
         e = arr[i]

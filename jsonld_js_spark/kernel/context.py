@@ -50,6 +50,7 @@ def _clone_ctx(ctx: dict) -> dict:
     # diverges: @direction nulling below), so it gets a fresh
     # never-repeating fingerprint
     out.pop("_inverse", None)
+    out.pop("_atrie_candidates", None)
     out["_fp"] = _fresh_fp()
     # Reference quirk replicated: _cloneActiveContext copies @base,
     # @language and @vocab but NOT @direction — NOR processingMode

@@ -33,8 +33,15 @@ _ABSOLUTE_RE = re.compile(
 )
 
 
+@lru_cache(maxsize=16384)
+def _is_absolute_str(v: str) -> bool:
+    return _ABSOLUTE_RE.match(v) is not None
+
+
 def is_absolute_iri(v) -> bool:
-    return isinstance(v, str) and _ABSOLUTE_RE.match(v) is not None
+    # memoized per string: the extraction kernel asks this ~30x per
+    # document, almost always for the same handful of vocab IRIs
+    return isinstance(v, str) and _is_absolute_str(v)
 
 
 def is_relative_iri(v) -> bool:

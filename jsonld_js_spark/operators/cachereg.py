@@ -19,8 +19,20 @@ instead of the whole battery's.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
+# SINGLE-THREADED SEQUENTIAL-DRIVER ASSUMPTION (documented limit, not
+# an accident): the registry is process-global, and release_caches()
+# at the start of pipeline N+1 unpersists EVERYTHING registered
+# before, assuming pipeline N has been fully materialized by then —
+# exactly how the driver gate and bench consume the battery. Composing
+# two library pipelines inside ONE unmaterialized query, or building
+# queries from several driver threads, would drop the first pipeline's
+# caches early (correct but recomputes lineage). The lock only makes
+# the registry itself race-free; it does not change that contract.
+_LOCK = threading.Lock()
 _LIVE: list[DataFrame] = []
 
 
@@ -28,16 +40,18 @@ def scoped_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` + register for release when the next scoped
     pipeline starts (or on an explicit :func:`release_caches`)."""
     df = df.cache()
-    _LIVE.append(df)
+    with _LOCK:
+        _LIVE.append(df)
     return df
 
 
 def release_caches() -> None:
     """Unpersist every scoped cache registered so far (non-blocking;
     safe on stopped sessions — failures are ignored)."""
-    for df in _LIVE:
+    with _LOCK:
+        live, _LIVE[:] = list(_LIVE), []
+    for df in live:
         try:
             df.unpersist()
         except Exception:
             pass
-    _LIVE.clear()

@@ -100,11 +100,19 @@ def minhash_lsh_pairs(docs: DataFrame, *, n_minhash: int = 12,
                       n_bands: int = 3, threshold: float = 0.5,
                       max_bucket: int | None = None,
                       id_col: str = "doc_id",
-                      toks_col: str = "toks") -> tuple[DataFrame, DataFrame]:
+                      toks_col: str = "toks",
+                      release: bool = True) -> tuple[DataFrame, DataFrame]:
     """(doc1, doc2, jaccard) near-dup pairs + (band, sig, size) capped
     buckets. ``docs`` carries one row per document with a distinct
-    token array in ``toks_col``."""
-    release_caches()  # drop the previous pipeline's scoped caches
+    token array in ``toks_col``.
+
+    ``release=False`` when the CALLER already released the previous
+    pipeline's scoped caches and registered caches of its own that
+    this pipeline's input depends on — releasing here would drop them
+    mid-pipeline and recompute their lineage (the ADVICE-r5
+    composition hazard)."""
+    if release:
+        release_caches()  # drop the previous pipeline's scoped caches
     d = docs.select(F.col(id_col).alias("doc_id"),
                     F.col(toks_col).alias("toks")).filter(F.size("toks") > 0)
 
@@ -198,7 +206,8 @@ def cosine_neardup_pairs(embeddings: DataFrame, *, threshold: float = 0.9,
                          bits: int = 64, bands: int = 4, dims: int = 64,
                          max_bucket: int | None = None,
                          id_col: str = "vec_id", vec_col: str = "embedding",
-                         seed: int = 42) -> tuple[DataFrame, DataFrame]:
+                         seed: int = 42,
+                         release: bool = True) -> tuple[DataFrame, DataFrame]:
     """Embedding-cosine near-duplicate pairs — the vector analogue of
     :func:`minhash_lsh_pairs`. Candidates come from a banded
     signed-random-projection LSH SELF-join (shuffle bounded by bucket
@@ -210,10 +219,11 @@ def cosine_neardup_pairs(embeddings: DataFrame, *, threshold: float = 0.9,
     (band, sig, size) — same contract as minhash_lsh_pairs.
 
     Returns ((id1, id2, cosine) with id1 < id2 and cosine >= threshold,
-    dropped_buckets)."""
+    dropped_buckets). ``release=False``: see minhash_lsh_pairs."""
     from .simsearch import _as_double, _cosine, _plane_coefs, _signatures
 
-    release_caches()  # drop the previous pipeline's scoped caches
+    if release:
+        release_caches()  # drop the previous pipeline's scoped caches
 
     # cache the cast corpus: it feeds the signature build AND both
     # verify semi-joins below — uncached, the 64-dot-product signature
@@ -295,20 +305,34 @@ def dedup_components(pairs: DataFrame, *, max_iterations: int = 50) -> DataFrame
                                        F.col("doc1").alias("b"))))
     labels = (edges.select(F.col("a").alias("node"))
               .distinct()
-              .withColumn("component", F.col("node")))
+              .withColumn("component", F.col("node"))
+              .localCheckpoint())
+    # frontier propagation with the convergence flag folded into the
+    # per-round checkpoint: each round is ONE materialized plan
+    # (propagate from last round's CHANGED labels only, min-merge into
+    # the full label table, flag rows that improved) plus a cheap
+    # isEmpty scan of the checkpointed result — the old shape ran a
+    # second join job per round just to compute `changed`, and joined
+    # the full label table even when a handful of nodes were still
+    # moving. Same fixpoint: every label a node ever holds is offered
+    # to its neighbors the round after it changes, so the converged
+    # labels are the per-component minima either way.
+    frontier = labels
     for _ in range(max_iterations):
-        prop = (edges.join(labels, edges["a"] == labels["node"])
-                .select(F.col("b").alias("node"),
-                        F.col("component")))
-        new_labels = (labels.select("node", "component").unionByName(prop)
-                      .groupBy("node")
-                      .agg(F.min("component").alias("component"))
-                      .localCheckpoint())
-        changed = (new_labels.join(labels.withColumnRenamed("component", "old"),
-                                   "node")
-                   .filter(F.col("component") != F.col("old")))
-        labels = new_labels
-        if changed.isEmpty():
+        prop = (edges.join(frontier, edges["a"] == frontier["node"])
+                .select(F.col("b").alias("node"), F.col("component")))
+        best = prop.groupBy("node").agg(F.min("component").alias("cand"))
+        merged = (labels.join(best, "node", "left")
+                  .select("node",
+                          F.least("component",
+                                  F.coalesce("cand", "component"))
+                          .alias("component"),
+                          (F.col("cand") < F.col("component"))
+                          .alias("changed"))
+                  .localCheckpoint())
+        labels = merged.select("node", "component")
+        frontier = merged.filter("changed").select("node", "component")
+        if frontier.isEmpty():
             break
     else:
         raise RuntimeError(

@@ -22,6 +22,8 @@ JSON-LD engine itself (kg_*), training-data ops (doc_*, emb_*, mm_*).
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -284,8 +286,12 @@ def kg_tordf_customers(spark, sf_dir):
 
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
+    # spread the single-split scan before the per-row kernel stage
+    # (_spread: test-data plumbing; the mapInPandas kernel would
+    # otherwise run in ONE task)
     c2 = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
           .select("c_custkey", "c_name", "c_mktsegment", "n_nationkey", "n_name"))
+    c2 = _spread(c2, "c_custkey")
     doc_text = F.concat(
         F.lit('{"@context": {"@vocab": "' + KG_V + '"}, '),
         F.lit('"@id": "https://example.org/kg/customer/'), F.col("c_custkey"),
@@ -850,6 +856,19 @@ def load_docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents").repartition(n, "doc_id")
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-spread a single-split test corpus across the cores before a
+    per-row-heavy stage (Python kernel, canonize, heavy string build).
+    Same TEST-DATA PLUMBING rationale as load_docs_wide: the sf*
+    corpora are ONE parquet file = one input split, which would
+    serialize the stage on a single core; real 100 TB inputs arrive as
+    thousands of splits and need no repartition. Hash partitioning on
+    the id columns (not round-robin) avoids the sort-before-repartition
+    pass and is retry-deterministic."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)
+
+
 def doc_simhash(spark, sf_dir):
     """32-bit SimHash per document from token md5 bits (sum of ±1 per
     bit position over tokens, sign -> bit). Pure column algebra — no
@@ -1314,9 +1333,13 @@ def doc_dedup_embedding(spark, sf_dir):
                                   lambda a, b: F.lit(0.97) * a
                                   + F.lit(0.03) * b).alias("embedding")))
     corpus = ed.select("vec_id", "embedding").unionByName(planted)
+    # release=False: this query already released the previous
+    # pipeline's caches and registered `ed`, which the corpus input
+    # consumes THREE times (both planted sides + the union) — the
+    # operator's own release would unpersist it mid-pipeline
     pairs, _dropped = cosine_neardup_pairs(
         corpus, threshold=0.9, bits=_LSH_BITS, bands=_LSH_BANDS,
-        max_bucket=_LSH_MAX_BUCKET)
+        max_bucket=_LSH_MAX_BUCKET, release=False)
     return pairs
 
 
@@ -1541,7 +1564,7 @@ def _docs_as_transcripts(spark, sf_dir):
     text as the turn text, no tool, no ts. Texts that would parse as
     embedded JSON-LD are excluded so every row takes the envelope path
     (the filter is replicated verbatim in the oracle)."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread(load(spark, sf_dir, "documents"), "doc_id")
     lead = F.substring(F.ltrim(F.col("text")), 1, 1)
     return (d.filter(~lead.isin("{", "["))
             .select(F.concat(F.lit("doc-"), F.col("doc_id")).alias("conv_id"),
@@ -1622,7 +1645,9 @@ def kg_canonize_documents(spark, sf_dir):
     invariance/first-degree re-derivation suites."""
     from .operators.pipeline import extract_triples, triples_only
 
-    d = load(spark, sf_dir, "documents")
+    # spread the single-split scan before the per-document canonize
+    # kernel (test-data plumbing, see _spread)
+    d = _spread(load(spark, sf_dir, "documents"), "doc_id")
     doc_text = F.concat(
         F.lit('{"@context":{"@vocab":"https://example.org/vocab#"},'
               '"@id":"https://example.org/doc/'),
@@ -1661,7 +1686,7 @@ FROM base
 """
 
 
-_K6_POISON_DOC = __import__("json").dumps(
+_K6_POISON_DOC = json.dumps(
     {"@context": {"p": "https://example.org/vocab#p"},
      "@graph": [{"@id": f"_:n{i}",
                  "p": [{"@id": f"_:n{j}"} for j in range(6) if j != i]}
@@ -1682,7 +1707,8 @@ def kg_canonize_poison(spark, sf_dir):
     row-count oracle pins both sides exactly."""
     from .operators.pipeline import extract_triples
 
-    d = load(spark, sf_dir, "documents")
+    # spread before the canonize kernel (test-data plumbing, _spread)
+    d = _spread(load(spark, sf_dir, "documents"), "doc_id")
     clean_text = F.concat(
         F.lit('{"@context":{"@vocab":"https://example.org/vocab#"},'
               '"@id":"https://example.org/doc/'),
@@ -1730,7 +1756,9 @@ def kg_extract_poison_depth(spark, sf_dir):
     job after 4 retries. Row-count oracle pins both sides."""
     from .operators.pipeline import extract_triples
 
-    d = load(spark, sf_dir, "documents")
+    # spread BEFORE building the 250 KB deep_text strings so both the
+    # string build and the kernel parallelize (test-data plumbing)
+    d = _spread(load(spark, sf_dir, "documents"), "doc_id")
     clean_text = F.concat(
         F.lit('{"@context":{"@vocab":"https://example.org/vocab#"},'
               '"@id":"https://example.org/doc/'),
@@ -1772,6 +1800,8 @@ def kg_entity_link_documents(spark, sf_dir):
     from .operators.entity_link import link_entities
     from .sources.entities import entities_df
 
+    # NOT spread: the mention stage is cheap JVM tokenize/explode and
+    # the extra exchange measured net-negative (A/B 1.08, r6)
     d = load(spark, sf_dir, "documents")
     tx = d.select(F.col("doc_id").cast("string").alias("conv_id"),
                   F.lit(0).cast("int").alias("turn_idx"),
