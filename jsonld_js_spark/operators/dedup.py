@@ -87,12 +87,26 @@ def collapse_exact_shapes(d: DataFrame) -> DataFrame:
     """(doc_id, toks) -> one min-doc_id representative per exact token
     SET (shape): ONE hash aggregation (partial/map-side, shuffle is
     unique shapes only). The old window shape (min over
-    partitionBy(shape) + filter) shuffled AND sorted the full corpus."""
-    shape = F.md5(F.concat_ws("\x1f", F.array_sort("toks"))).alias("shape")
-    return (d.select(shape, "doc_id", "toks")
-            .groupBy("shape")
+    partitionBy(shape) + filter) shuffled AND sorted the full corpus.
+
+    The (shape, toks) pair is emitted through a single-row GENERATOR:
+    when ``toks`` is an unmaterialized expression (the shingle/token
+    transform straight off the scan), a plain projection would inline
+    it into both the grouping key and the aggregated value
+    (CollapseProject) and the whole tokenize would run per reference —
+    measured 5x wall on the shingle variant. Generators are evaluation
+    barriers: the expression runs once per row."""
+    pair = F.explode(F.transform(F.array("toks"), lambda t: F.struct(
+        F.md5(F.concat_ws("\x1f", F.array_sort(t))).alias("shape"),
+        t.alias("toks"))))
+    # the empty-toks filter sits AFTER the generator so it cannot push
+    # below a caller's spread exchange into the scan task with the
+    # tokenize expression inlined
+    return (d.select("doc_id", pair.alias("p"))
+            .filter(F.size("p.toks") > 0)
+            .groupBy("p.shape")
             .agg(F.min("doc_id").alias("doc_id"),
-                 F.min_by("toks", "doc_id").alias("toks"))
+                 F.min_by("p.toks", "doc_id").alias("toks"))
             .select("doc_id", "toks"))
 
 
@@ -113,8 +127,12 @@ def minhash_lsh_pairs(docs: DataFrame, *, n_minhash: int = 12,
     composition hazard)."""
     if release:
         release_caches()  # drop the previous pipeline's scoped caches
+    # no size filter here: collapse_exact_shapes filters empty token
+    # arrays after its generator barrier (a filter on an unmaterialized
+    # toks expression would push below any upstream exchange and run
+    # the whole tokenize in the scan task)
     d = docs.select(F.col(id_col).alias("doc_id"),
-                    F.col(toks_col).alias("toks")).filter(F.size("toks") > 0)
+                    F.col(toks_col).alias("toks"))
 
     reps = scoped_cache(collapse_exact_shapes(d))
 

@@ -432,8 +432,13 @@ def doc_dedup_token_jaccard(spark, sf_dir):
     (lang, source) blocks. Blocking bounds the pair space (at scale:
     replace blocks with MinHash-LSH buckets, below); the join is a
     real shuffle join on the block key."""
-    d = (load(spark, sf_dir, "documents")
-         .select("doc_id", "lang", "source", _tokens(F.col("text")).alias("toks"))
+    # spread the one-split scan, then materialize the token array
+    # behind a generator: a plain alias would inline the tokenize into
+    # the pushed-down size filter (run in the single scan task) and
+    # into every downstream reference (see _shingles3)
+    d = (_spread(load(spark, sf_dir, "documents"), "doc_id")
+         .select("doc_id", "lang", "source",
+                 F.explode(F.array(_tokens(F.col("text")))).alias("toks"))
          .filter(F.size("toks") > 0))
     a = d.alias("a")
     b = d.alias("b")
@@ -490,9 +495,19 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 def _shingles3(docs):
     """(doc_id, lang, source, sh): distinct word-3-gram shingle arrays
     built with pure column algebra (sequence + transform over the
-    ordered token array) — JVM-side, no shuffle, no UDF."""
+    ordered token array) — JVM-side, no shuffle, no UDF.
+
+    The token array is materialized through a single-row GENERATOR
+    (explode of a one-element array): as a plain projection alias,
+    CollapseProject inlines the split expression into EVERY reference
+    — size(t) in the pushed-down filter (evaluated below any spread
+    exchange, i.e. in the one-split scan task) and all three
+    element_at calls per shingle position (re-splitting the text per
+    access). Generators are evaluation and pushdown barriers: split
+    runs once per row, after the caller's spread."""
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    d = (docs.select("doc_id", "lang", "source", toks.alias("t"))
+    d = (docs.select("doc_id", "lang", "source",
+                     F.explode(F.array(toks)).alias("t"))
          .filter(F.size("t") >= 3))
     sh = F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.size("t") - 3),
@@ -514,7 +529,7 @@ def doc_dedup_ngram_jaccard(spark, sf_dir):
     corpus scale run the same shingle arrays through
     operators/dedup.minhash_lsh_pairs (shingle -> minhash -> band ->
     bucket join), which bounds the pair space by bucket collisions."""
-    d = _shingles3(load(spark, sf_dir, "documents"))
+    d = _shingles3(_spread(load(spark, sf_dir, "documents"), "doc_id"))
     a = d.alias("a")
     b = d.alias("b")
     # sizes are O(1) lookups on the post-shuffle materialized arrays (a
@@ -587,9 +602,13 @@ def doc_dedup_minhash_lsh(spark, sf_dir):
     from .operators.cachereg import release_caches, scoped_cache
     from .operators.dedup import collapse_exact_shapes, minhash_band_structs
     release_caches()
-    d = (load(spark, sf_dir, "documents")
-         .select("doc_id", _tokens(F.col("text")).alias("toks"))
-         .filter(F.size("toks") > 0))
+    # spread the single-split scan before tokenization (test-data
+    # plumbing, _spread) so the per-row hashing parallelizes
+    d = (_spread(load(spark, sf_dir, "documents"), "doc_id")
+         .select("doc_id", _tokens(F.col("text")).alias("toks")))
+    # (the empty-toks filter lives INSIDE collapse_exact_shapes, after
+    # its generator — a caller-side filter on the unmaterialized token
+    # array would push below the spread exchange into the scan task)
     # reps feeds three consumers (signature build + both pair sides) and
     # buckets self-joins — cache both so the doc scan + shape collapse
     # run once (at 100 TB: persist(DISK_ONLY) at the same two points).
@@ -705,7 +724,7 @@ def doc_dedup_minhash_capped(spark, sf_dir):
     The oracle replicates the cap + star logic exactly."""
     from .operators.dedup import minhash_lsh_pairs
 
-    d = (load(spark, sf_dir, "documents")
+    d = (_spread(load(spark, sf_dir, "documents"), "doc_id")
          .select("doc_id", _tokens(F.col("text")).alias("toks")))
     pairs, _dropped = minhash_lsh_pairs(
         d, n_minhash=_N_MINHASH, n_bands=_N_BANDS, threshold=0.5,
@@ -789,7 +808,8 @@ def doc_dedup_ngram_minhash(spark, sf_dir):
     candidates with true shingle-set Jaccard >= 0.5."""
     from .operators.dedup import minhash_lsh_pairs
 
-    d = _shingles3(load(spark, sf_dir, "documents")).select("doc_id", "sh")
+    d = _shingles3(_spread(load(spark, sf_dir, "documents"),
+                           "doc_id")).select("doc_id", "sh")
     pairs, _dropped = minhash_lsh_pairs(
         d, n_minhash=_N_MINHASH, n_bands=_N_BANDS, threshold=0.5,
         max_bucket=_MAX_BUCKET, toks_col="sh")
@@ -817,7 +837,7 @@ def doc_dedup_components(spark, sf_dir):
     component labeling itself."""
     from .operators.dedup import dedup_components, minhash_lsh_pairs
 
-    d = (load(spark, sf_dir, "documents")
+    d = (_spread(load(spark, sf_dir, "documents"), "doc_id")
          .select("doc_id", _tokens(F.col("text")).alias("toks")))
     pairs, _dropped = minhash_lsh_pairs(
         d, n_minhash=_N_MINHASH, n_bands=_N_BANDS, threshold=0.5,
@@ -872,21 +892,29 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
 def doc_simhash(spark, sf_dir):
     """32-bit SimHash per document from token md5 bits (sum of ±1 per
     bit position over tokens, sign -> bit). Pure column algebra — no
-    UDF. SQL oracle builds the identical signature."""
+    UDF, and since r6 NO SHUFFLE: the per-bit ±1 sums are per-row
+    F.aggregate passes over the materialized token-hash array instead
+    of a token explode + 32-column hash aggregation (the corpus x
+    tokens exchange carried pure intermediate state; integer sums are
+    order-free, so the signature is bit-identical and the SQL oracle
+    unchanged). Token hashes are materialized behind a generator so
+    the tokenize+md5 runs once per row after the spread (see
+    _shingles3 on CollapseProject inlining)."""
+    hs_expr = F.transform(_tokens(F.col("text")), lambda t: _hash60(t))
     d = (load_docs_wide(spark, sf_dir)
-         .select("doc_id", _tokens(F.col("text")).alias("toks"))
-         .filter(F.size("toks") > 0))
-    tok = (d.select("doc_id", F.explode("toks").alias("t"))
-           .select("doc_id", _hash60(F.col("t")).alias("h")))
-    bit_sums = tok.groupBy("doc_id").agg(*[
-        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1)
-              .otherwise(-1)).alias(f"b{i}")
-        for i in range(32)])
+         .select("doc_id", F.explode(F.array(hs_expr)).alias("hs"))
+         .filter(F.size("hs") > 0))
+    def _bit_sum(i):
+        return F.aggregate(
+            "hs", F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.shiftright(h, i).bitwiseAND(1) == 1, 1).otherwise(-1))
+
     sig = None
     for i in range(32):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        term = F.when(_bit_sum(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
-    return bit_sums.select("doc_id", sig.cast("long").alias("simhash"))
+    return d.select("doc_id", sig.cast("long").alias("simhash"))
 
 
 ORACLE_DOC_SIMHASH = """
@@ -916,12 +944,16 @@ def doc_text_stats(spark, sf_dir):
     """Language-ID heuristic + quality scoring + token counting per
     source (the text-analysis battery, all JVM-side column functions)."""
     d = load_docs_wide(spark, sf_dir)
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    n_tok = F.size(toks)
-    n_chars = F.length("text")
-    punct = F.length(F.regexp_replace(F.col("text"), "[^.!?,;]", ""))
-    stop = F.size(F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to")))
-    quality = F.when((n_tok >= 5) & (punct * 4 <= n_tok) & (n_chars >= 30), 1).otherwise(0)
+    toks_expr = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    # tokenize ONCE behind a generator (n_tok is referenced three
+    # times; a plain alias re-splits per reference — see _shingles3)
+    d = d.select("source", "lang", F.length("text").alias("n_chars"),
+                 F.length(F.regexp_replace(F.col("text"), "[^.!?,;]", ""))
+                 .alias("punct"),
+                 F.explode(F.array(toks_expr)).alias("toks"))
+    n_tok = F.size("toks")
+    quality = F.when((n_tok >= 5) & (F.col("punct") * 4 <= n_tok)
+                     & (F.col("n_chars") >= 30), 1).otherwise(0)
     return (d.select("source", "lang", n_tok.alias("n_tok"),
                      quality.alias("quality"))
             .groupBy("source")
@@ -958,14 +990,18 @@ def doc_fingerprint(spark, sf_dir):
     shuffle at 100 TB). Per-row arrays are bounded by document length;
     for multi-MB documents switch back to the streaming explode."""
     d = load_docs_wide(spark, sf_dir).filter(F.length("text") >= 8)
-    grams = F.transform(
+    grams_expr = F.transform(
         F.sequence(F.lit(1), F.length("text") - 7),
         lambda i: F.col("text").substr(i, F.lit(8)))
-    return d.select(
+    # materialize the gram array ONCE behind a generator: referenced by
+    # both output expressions, a plain alias would rebuild it per
+    # reference (CollapseProject — see _shingles3)
+    g = d.select("doc_id", F.explode(F.array(grams_expr)).alias("grams"))
+    return g.select(
         "doc_id",
-        F.array_min(F.transform(grams, lambda g: _hash60(g)))
+        F.array_min(F.transform("grams", lambda g: _hash60(g)))
         .alias("fingerprint"),
-        F.size(F.array_distinct(grams)).cast("long").alias("n_grams"))
+        F.size(F.array_distinct("grams")).cast("long").alias("n_grams"))
 
 
 ORACLE_DOC_FINGERPRINT = """
@@ -1419,11 +1455,19 @@ def doc_bpe_tokens(spark, sf_dir):
     pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0)
     non_ws = F.filter(pieces, lambda p: F.trim(p) != "")
     ws_toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    return d.select(
+    # run the BPE regex ONCE behind a generator: n_bpe is referenced
+    # twice and a plain alias re-runs regexp_extract_all per reference
+    # (CollapseProject — see _shingles3)
+    g = d.select("doc_id", F.length("text").alias("n_chars"),
+                 F.explode(F.array(F.struct(
+                     F.size(non_ws).alias("n_bpe"),
+                     F.size(ws_toks).alias("n_ws")))).alias("c"))
+    return g.select(
         "doc_id",
-        F.size(non_ws).alias("n_bpe"),
-        F.size(ws_toks).alias("n_ws"),
-        F.round(F.length("text") / F.greatest(F.size(non_ws), F.lit(1)), 4)
+        F.col("c.n_bpe").alias("n_bpe"),
+        F.col("c.n_ws").alias("n_ws"),
+        F.round(F.col("n_chars")
+                / F.greatest(F.col("c.n_bpe"), F.lit(1)), 4)
         .alias("chars_per_tok"))
 
 
@@ -1459,8 +1503,14 @@ def doc_lang_id(spark, sf_dir):
     under ALL lang labels, so predictions skew 'en'/'und' by design;
     the operator itself is corpus-independent."""
     d = load_docs_wide(spark, sf_dir)
-    toks = F.filter(F.split(F.lower(F.col("text")), " "),
-                    lambda x: x != "")
+    # tokenize ONCE behind a generator: the four profile scores each
+    # reference the token array, and a plain alias would re-split the
+    # text per profile (CollapseProject — see _shingles3)
+    toks_expr = F.filter(F.split(F.lower(F.col("text")), " "),
+                         lambda x: x != "")
+    d = d.select("doc_id", "lang",
+                 F.explode(F.array(toks_expr)).alias("toks"))
+    toks = F.col("toks")
     def _score(words):
         # F.filter builds the expression eagerly, so the closure binds now
         return F.size(F.filter(toks, lambda x: x.isin(*words)))
