@@ -282,15 +282,32 @@ def kg_tordf_customers(spark, sf_dir):
     plain SQL string concat — a fully independent check of IRI
     expansion, @type handling, nesting, and integer literal typing.
     """
+    # dataset-level merge semantics: duplicate (subj,pred,obj) across
+    # documents collapse, exactly jsonld.merge's allowDuplicate:false
+    # (lib/util.js:246-298) -> dropDuplicates after the union
+    return (_tordf_customers_raw(spark, sf_dir)
+            .dropDuplicates(["subj", "pred", "obj"])
+            .orderBy("subj", "pred", "obj"))
+
+
+def _tordf_customers_raw(spark, sf_dir):
+    """kg_tordf_customers WITHOUT the final dropDuplicates + global
+    orderBy — for consumers whose own processing is invariant to quad
+    duplication and order (kg_fromrdf_nodes: per-subject assembly
+    dedupes value objects in build_node, and this corpus has no
+    rdf:rest quads so the referenced-once list machinery sees no
+    candidates). Skips one full shuffle and one range-partition+sort
+    of the triples stream; output of the CONSUMER query is
+    hash-identical (driver-gated)."""
     from .operators.pipeline import extract_triples, triples_only
 
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
+    c2 = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+          .select("c_custkey", "c_name", "c_mktsegment", "n_nationkey", "n_name"))
     # spread the single-split scan before the per-row kernel stage
     # (_spread: test-data plumbing; the mapInPandas kernel would
     # otherwise run in ONE task)
-    c2 = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-          .select("c_custkey", "c_name", "c_mktsegment", "n_nationkey", "n_name"))
     c2 = _spread(c2, "c_custkey")
     doc_text = F.concat(
         F.lit('{"@context": {"@vocab": "' + KG_V + '"}, '),
@@ -308,12 +325,7 @@ def kg_tordf_customers(spark, sf_dir):
         F.lit(None).cast("string").alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"))
     tri = triples_only(extract_triples(docs))
-    # dataset-level merge semantics: duplicate (subj,pred,obj) across
-    # documents collapse, exactly jsonld.merge's allowDuplicate:false
-    # (lib/util.js:246-298) -> dropDuplicates after the union
-    return (tri.select("subj", "pred", F.col("obj_value").alias("obj"))
-            .dropDuplicates(["subj", "pred", "obj"])
-            .orderBy("subj", "pred", "obj"))
+    return tri.select("subj", "pred", F.col("obj_value").alias("obj"))
 
 
 ORACLE_KG_TORDF = f"""
@@ -1126,7 +1138,10 @@ def kg_fromrdf_nodes(spark, sf_dir):
     the count is derived JVM-side with json_object_keys (no Python)."""
     from .operators.fromrdf_ops import from_rdf_nodes
 
-    tri = kg_tordf_customers(spark, sf_dir)
+    # raw triples stream: fromRDF assembly is invariant to quad
+    # duplication/order here (see _tordf_customers_raw), so the
+    # dropDuplicates shuffle + global sort are skipped
+    tri = _tordf_customers_raw(spark, sf_dir)
     full = tri.select(
         F.lit("").alias("graph"), "subj", "pred",
         F.when(F.col("obj").startswith("http"), F.lit("iri"))
