@@ -30,6 +30,20 @@ from pyspark.sql.window import Window
 from .cachereg import release_caches, scoped_cache
 
 
+def round4_boundary_num(threshold: float) -> int:
+    """num such that round(x, 4) >= threshold  <=>  x >= num/20000 for
+    the engine's float comparison: m = smallest k whose 4-decimal
+    DOUBLE k/10000 satisfies `>= threshold` (the float threshold can
+    sit a hair ABOVE its decimal — float(0.8) = 0.8000...044, so a
+    plain ceil(Fraction(t)*1e4) = 8001 would drop exact-boundary
+    pairs like J = 4/5), and num = 2m - 1 (HALF_UP: x >= m/10000 -
+    1/20000 rounds up to m/10000)."""
+    m = math.ceil(Fraction(threshold) * 10000)
+    if (m - 1) / 10000 >= threshold:
+        m -= 1
+    return 2 * m - 1
+
+
 def _hash60(col):
     """md5-hex-prefix -> 60-bit integer (cross-engine reproducible)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
@@ -206,8 +220,7 @@ def minhash_lsh_pairs(docs: DataFrame, *, n_minhash: int = 12,
     # preceded by the implied size gate (J <= min/max, so J >= t forces
     # min*20000 >= (2m-1)*max), an O(1) compare that prunes candidates
     # before the O(|toks|) intersect ever runs.
-    m = math.ceil(Fraction(threshold) * 10000)
-    num = 2 * m - 1  # x >= num/20000  <=>  round(x, 4) >= m/10000
+    num = round4_boundary_num(threshold)
     size_gate = (F.least(sa, sb).cast("long") * 20000
                  >= F.greatest(sa, sb).cast("long") * num)
     int_pred = (inter.cast("long") * (20000 + num)
