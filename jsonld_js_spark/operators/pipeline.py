@@ -218,9 +218,54 @@ def extract_triples(transcripts: DataFrame, *, canonicalize: bool = False,
 
 _XSD = "http://www.w3.org/2001/XMLSchema#"
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_JSON = "http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON"
 
 # JVM twin of looks_like_jsonld(): shape check + Jackson parse probe
 _JSONLD_SHAPE = r'^\s*[\[{]'
+
+# JCS-safe flat tool payload: the exact textual form
+# json.dumps({"name": ..., "args": {...}}, sort_keys=True) emits for a
+# flat string->string args object, restricted to characters that
+# serialize identically under JSON and RFC 8785 (printable ASCII minus
+# '"', '\\', '{', '}').  For a payload matching this grammar the
+# kernel's expand->toRDF output is exactly two extra triples beyond the
+# envelope — the invokes IRI and an rdf:JSON literal whose value is the
+# JCS of args — both reproducible in pure column algebra.  Anything
+# else (numbers, booleans, nesting, escapes, non-ASCII, unsorted or
+# duplicate keys, other spacings, a missing member) still routes to the
+# Python kernel, so the fast path can never diverge: it only accepts
+# inputs whose kernel output it provably reproduces byte-for-byte
+# (parity battery: tests/test_hybrid.py).
+_TOOL_SAFE = r' !#-\[\]-z|~'
+_TOOL_SIMPLE_RE = (
+    r'^\{"args": \{(("[%(c)s]*": "[%(c)s]*")(, "[%(c)s]*": "[%(c)s]*")*)?\}, '
+    r'"name": "[A-Za-z0-9_.-]+"\}$' % {"c": _TOOL_SAFE})
+
+
+def _tool_fast_cols():
+    """(simple?, name, jcs_of_args) for the JVM tool fast path.
+
+    Within the grammar the only '"' characters are the string
+    delimiters, so quote-delimited extraction is unambiguous: tokens
+    followed by ': "' are keys, tokens preceded by ': ' are values.
+    Keys must arrive strictly ascending (the JCS member order and the
+    uniqueness json.loads would enforce); otherwise -> kernel."""
+    tool = F.col("tool")
+    args_str = F.regexp_extract(tool, r'^\{"args": (\{[^{}]*\}), "name"', 1)
+    keys = F.regexp_extract_all(args_str, F.lit('"([^"]*)": "'), F.lit(1))
+    vals = F.regexp_extract_all(args_str, F.lit('": "([^"]*)"'), F.lit(1))
+    simple = (tool.rlike(_TOOL_SIMPLE_RE)
+              & (F.size(keys) == F.size(vals))
+              & (keys == F.array_sort(keys))
+              & (F.size(F.array_distinct(keys)) == F.size(keys)))
+    name = F.regexp_extract(tool, r', "name": "([A-Za-z0-9_.-]+)"\}$', 1)
+    jcs = F.concat(
+        F.lit("{"),
+        F.concat_ws(",", F.zip_with(
+            keys, vals,
+            lambda k, v: F.concat(F.lit('"'), k, F.lit('":"'), v, F.lit('"')))),
+        F.lit("}"))
+    return simple, name, jcs
 
 
 def _is_doc_col():
@@ -256,6 +301,8 @@ def _envelope_triples_jvm(plain: DataFrame) -> DataFrame:
             (F.lit(dt) if dt else null_s).alias("obj_datatype"),
             null_s.alias("obj_lang"))
 
+    tool_simple, tool_name, tool_jcs = _tool_fast_cols()
+    tool_ok = F.col("tool").isNotNull() & tool_simple
     rows = F.array(
         t(_RDF_TYPE, "iri", F.lit(V + "Turn"), None),
         t(V + "conversation", "iri", conv_iri, None),
@@ -267,6 +314,14 @@ def _envelope_triples_jvm(plain: DataFrame) -> DataFrame:
           _XSD + "integer"),
         F.when(F.col("ts").isNotNull(),
                t(V + "ts", "literal", ts_iso, _XSD + "dateTime")),
+        # the tool fast path (routing guarantees any tool payload that
+        # reaches this branch satisfies _TOOL_SIMPLE_RE; the guard is
+        # kept so the operator is safe standalone)
+        F.when(tool_ok,
+               t(V + "invokes", "iri",
+                 F.concat(F.lit("https://example.org/tool/"), tool_name),
+                 None)),
+        F.when(tool_ok, t(V + "toolArgs", "literal", tool_jcs, _RDF_JSON)),
     )
     exploded = (plain.select("conv_id", "turn_idx",
                              F.explode(F.array_compact(rows)).alias("r"))
@@ -278,12 +333,14 @@ def _envelope_triples_jvm(plain: DataFrame) -> DataFrame:
 def extract_triples_hybrid(transcripts: DataFrame, *,
                            context_loader: dict | None = None,
                            options: dict | None = None) -> DataFrame:
-    """The scale path: plain turns (no embedded doc, no tool payload)
-    emit envelope triples in the JVM; only JSON-LD-document turns and
-    tool turns cross into the Arrow kernel. Same output as
-    ``extract_triples`` (parity-tested), but the common case never
-    leaves whole-stage codegen."""
-    needs_kernel = _is_doc_col() | F.col("tool").isNotNull()
+    """The scale path: plain turns AND turns whose only complexity is a
+    JCS-safe flat tool payload (the overwhelmingly common tool shape)
+    emit their triples in the JVM; only JSON-LD-document turns and
+    tool payloads outside the provable grammar cross into the Arrow
+    kernel. Same output as ``extract_triples`` (parity-tested), but the
+    common cases never leave whole-stage codegen."""
+    tool_simple, _, _ = _tool_fast_cols()
+    needs_kernel = _is_doc_col() | (F.col("tool").isNotNull() & ~tool_simple)
     plain = transcripts.filter(~needs_kernel)
     complex_turns = transcripts.filter(needs_kernel)
     jvm_part = _envelope_triples_jvm(plain)

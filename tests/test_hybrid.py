@@ -44,6 +44,69 @@ def test_hybrid_matches_kernel_on_hostile_rows(spark):
     assert a == b
 
 
+def test_hybrid_matches_kernel_on_tool_payload_battery(spark):
+    """The JVM tool fast path (r6) may only accept payloads whose
+    kernel output it reproduces byte-for-byte; everything outside the
+    grammar must still route to the kernel. Both halves are parity —
+    this battery mixes routable and unroutable payloads."""
+    ts = datetime.datetime(2026, 1, 1, 12, 0, 7)
+    payloads = [
+        # routable: json.dumps(sort_keys=True) flat safe-string form
+        '{"args": {"q": "query41"}, "name": "browser"}',
+        '{"args": {}, "name": "noargs"}',
+        '{"args": {"a": "x", "b": "y z"}, "name": "two.args"}',
+        '{"args": {"k": "punct !#$%&\'()*+,-./:;<=>?@[]^_`|~"}, "name": "p-1"}',
+        '{"args": {"": "empty key"}, "name": "ek"}',
+        # unroutable: must fall back to the kernel (each exercises one
+        # grammar exit)
+        '{"args": {"q": 1}, "name": "int-arg"}',
+        '{"args": {"q": true}, "name": "bool-arg"}',
+        '{"args": {"q": null}, "name": "null-arg"}',
+        '{"args": {"q": {"nested": "x"}}, "name": "nested"}',
+        '{"args": {"q": ["x"]}, "name": "array-arg"}',
+        '{"args": {"q": "esc \\" quote"}, "name": "escaped"}',
+        '{"args": {"q": "back \\\\ slash"}, "name": "bslash"}',
+        '{"args": {"q": "unicode ü"}, "name": "nonascii"}',
+        '{"args": {"b": "x", "a": "y"}, "name": "unsorted"}',
+        '{"args": {"a": "x", "a": "y"}, "name": "dupkey"}',
+        '{"name": "argsless"}',
+        '{"args": {"q": "x"}}',
+        '{"args":{"q":"x"},"name":"tight-spacing"}',
+        '{"name": "reversed", "args": {"q": "x"}}',
+        '{"args": {"q": "x"}, "name": "bad name!"}',
+        'not json at all',
+        '{"args": {"q": "x"}, "name": "trailing"} ',
+    ]
+    rows = [("c", i, "tool", f"tool result {i}", p, ts)
+            for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    a = _collect(triples_only(extract_triples(df)))
+    b = _collect(triples_only(extract_triples_hybrid(df)))
+    assert a == b
+
+
+def test_hybrid_tool_fast_path_fires(spark):
+    """Routing must actually send JCS-safe tool turns down the JVM
+    branch — a silently dead fast path would still pass parity. The
+    kernel side of the hybrid must see only the embedded-doc turns."""
+    from pyspark.sql import functions as F
+
+    from jsonld_js_spark.operators.pipeline import _is_doc_col, _tool_fast_cols
+
+    tx = synthesize_transcripts(spark, 50, seed=42).cache()
+    tool_simple, _, _ = _tool_fast_cols()
+    needs_kernel = _is_doc_col() | (F.col("tool").isNotNull() & ~tool_simple)
+    n_kernel = tx.filter(needs_kernel).count()
+    n_doc = tx.filter(_is_doc_col()).count()
+    n_tool = tx.filter(F.col("tool").isNotNull()).count()
+    assert n_tool > 0
+    # every synthesized tool payload is flat {str: str} -> all routable
+    assert n_kernel == n_doc
+    tx.unpersist()
+
+
 def test_hybrid_plain_path_has_no_python_stage(spark):
     """The plan for plain turns must not contain a Python/Arrow eval
     node — that's the point of the fast path."""
