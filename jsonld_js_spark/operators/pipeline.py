@@ -245,25 +245,40 @@ _TOOL_SIMPLE_RE = (
 def _tool_fast_cols():
     """(simple?, name, jcs_of_args) for the JVM tool fast path.
 
-    Within the grammar the only '"' characters are the string
+    ``simple`` is a SINGLE anchored rlike: it gates routing in the
+    hybrid filter, where conditions get no common-subexpression
+    elimination, so every extra term would re-run its regexes per row
+    per branch. The heavier work (extraction, duplicate-key last-wins,
+    JCS member sort) lives only in the projection that emits the
+    triples. Within the grammar the only '"' characters are the string
     delimiters, so quote-delimited extraction is unambiguous: tokens
     followed by ': "' are keys, tokens preceded by ': ' are values.
-    Keys must arrive strictly ascending (the JCS member order and the
-    uniqueness json.loads would enforce); otherwise -> kernel."""
+    json.loads keeps the LAST of duplicate keys and RFC 8785 sorts
+    members by UTF-16 code units — mirrored here by the exists-later
+    filter and array_sort (binary order == code-unit order on the
+    ASCII-only grammar), so ANY rlike-accepted payload is reproduced
+    byte-for-byte (battery: tests/test_hybrid.py)."""
     tool = F.col("tool")
+    simple = tool.rlike(_TOOL_SIMPLE_RE)
     args_str = F.regexp_extract(tool, r'^\{"args": (\{[^{}]*\}), "name"', 1)
     keys = F.regexp_extract_all(args_str, F.lit('"([^"]*)": "'), F.lit(1))
     vals = F.regexp_extract_all(args_str, F.lit('": "([^"]*)"'), F.lit(1))
-    simple = (tool.rlike(_TOOL_SIMPLE_RE)
-              & (F.size(keys) == F.size(vals))
-              & (keys == F.array_sort(keys))
-              & (F.size(F.array_distinct(keys)) == F.size(keys)))
+    tagged = F.zip_with(
+        keys, vals, lambda k, v: F.struct(k.alias("k"), v.alias("v")))
+    tagged = F.transform(
+        tagged, lambda p, i: F.struct(p["k"].alias("k"), p["v"].alias("v"),
+                                      i.alias("i")))
+    kept = F.filter(
+        tagged,
+        lambda p: ~F.exists(tagged,
+                            lambda q: (q["k"] == p["k"]) & (q["i"] > p["i"])))
     name = F.regexp_extract(tool, r', "name": "([A-Za-z0-9_.-]+)"\}$', 1)
     jcs = F.concat(
         F.lit("{"),
-        F.concat_ws(",", F.zip_with(
-            keys, vals,
-            lambda k, v: F.concat(F.lit('"'), k, F.lit('":"'), v, F.lit('"')))),
+        F.concat_ws(",", F.transform(
+            F.array_sort(kept),
+            lambda p: F.concat(F.lit('"'), p["k"], F.lit('":"'), p["v"],
+                               F.lit('"')))),
         F.lit("}"))
     return simple, name, jcs
 
@@ -342,6 +357,10 @@ def extract_triples_hybrid(transcripts: DataFrame, *,
     tool_simple, _, _ = _tool_fast_cols()
     needs_kernel = _is_doc_col() | (F.col("tool").isNotNull() & ~tool_simple)
     plain = transcripts.filter(~needs_kernel)
+    # NOT repartitioned before the Arrow stage: an interleaved pinned
+    # A/B measured the extra exchange+stage barrier at 0.89x (the
+    # in-place sparse mapInPandas tasks overlap with the scan; the
+    # exchange serializes them behind it) — see OPTIMIZATION_r06.md.
     complex_turns = transcripts.filter(needs_kernel)
     jvm_part = _envelope_triples_jvm(plain)
     kernel_part = extract_triples(complex_turns, context_loader=context_loader,
