@@ -82,10 +82,15 @@ def _fmt_number(v) -> str:
     return f"{sign}{m}e{'+' if k >= 0 else '-'}{abs(k)}"
 
 
-def _sort_key(k: str):
-    return [ord(c) for c in k.encode("utf-16-be").decode("utf-16-be")] and tuple(
-        int.from_bytes(k.encode("utf-16-be")[i : i + 2], "big") for i in range(0, len(k.encode("utf-16-be")), 2)
-    )
+def _sort_key(k: str) -> tuple:
+    """UTF-16 code units of ``k`` as a tuple (RFC 8785 §3.2.3 member
+    order). Always a tuple: an earlier ``x and y`` formulation returned
+    a bare ``[]`` for the empty key, which is unorderable against the
+    tuples of other keys — ``{"": 1, "a": 2}`` (a perfectly legal
+    rdf:JSON value) raised TypeError inside sorted()."""
+    enc = k.encode("utf-16-be")
+    return tuple(int.from_bytes(enc[i:i + 2], "big")
+                 for i in range(0, len(enc), 2))
 
 
 def canonicalize(value) -> str:

@@ -150,6 +150,17 @@ def turn_to_quads(conv_id: str, turn_idx: int, role: str, text: str,
                        "message": "document nesting exceeds the "
                                   "processing depth limit"})
         return [], events
+    except ValueError as e:
+        # same resilience contract for the one ValueError reachable
+        # from document content on this path: RFC 8785 refuses
+        # NaN/Infinity in rdf:JSON literals (kernel/jcs.py — the
+        # reference's canonicalize throws identically), and Python's
+        # json.loads, unlike JSON.parse, ACCEPTS those tokens — so a
+        # single {"@type": "@json"} value holding NaN must degrade to
+        # a per-document error row, not a task-kill-retry storm.
+        events.append({"code": "invalid JSON literal",
+                       "level": "error", "message": str(e)})
+        return [], events
     return quads, events
 
 

@@ -87,6 +87,79 @@ def test_hybrid_matches_kernel_on_tool_payload_battery(spark):
     assert a == b
 
 
+def test_hybrid_matches_kernel_on_tool_payload_fuzz(spark):
+    """Deterministic fuzz over the tool-payload grammar BOUNDARY:
+    random flat/nested/typed payloads in random serialization styles,
+    random safe/unsafe characters. Whatever side of the routing rlike
+    each lands on, hybrid output must equal the pure kernel's. Also
+    asserts a healthy fraction actually routes to the JVM so the
+    grammar cannot silently rot into rejecting everything."""
+    import json as _json
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jsonld_js_spark.operators.pipeline import _tool_fast_cols
+
+    rng = random.Random(7)
+    safe = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 _.:/+@!#$%&'()*,-;<=>?^`|~[]"
+    unsafe = '"\\{}\n\t\x00üλ😀'
+
+    def rand_str(pool, lo=0, hi=12):
+        return "".join(rng.choice(pool) for _ in range(rng.randint(lo, hi)))
+
+    def rand_value(depth=0):
+        r = rng.random()
+        if r < 0.55:
+            pool = safe if rng.random() < 0.8 else safe + unsafe
+            return rand_str(pool)
+        if r < 0.70:
+            return rng.choice([0, 1, -3, 2.5, 1e30, True, False, None])
+        if r < 0.85 and depth < 2:
+            return {rand_str(safe, 1, 5): rand_value(depth + 1)
+                    for _ in range(rng.randint(0, 2))}
+        return [rand_value(depth + 1) for _ in range(rng.randint(0, 2))]
+
+    payloads = []
+    for i in range(300):
+        style = rng.random()
+        if style < 0.1:
+            payloads.append(rand_str(safe + unsafe, 0, 30))  # raw garbage
+            continue
+        obj = {}
+        if rng.random() < 0.9:
+            nkeys = rng.randint(0, 3)
+            pool = safe if rng.random() < 0.8 else safe + unsafe
+            obj["args"] = {rand_str(pool, 0, 8):
+                           (rand_str(pool) if rng.random() < 0.8
+                            else rand_value())
+                           for _ in range(nkeys)}
+        if rng.random() < 0.9:
+            obj["name"] = (rand_str("abcdefghij0123456789_.-", 1, 8)
+                           if rng.random() < 0.7 else rand_str(safe, 0, 8))
+        kwargs = rng.choice([
+            {"sort_keys": True},
+            {},
+            {"sort_keys": True, "separators": (",", ":")},
+            {"sort_keys": True, "indent": 1},
+        ])
+        try:
+            payloads.append(_json.dumps(obj, **kwargs))
+        except (TypeError, ValueError):
+            continue
+
+    rows = [("c", i, "tool", f"t{i}", p, None) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    a = _collect(triples_only(extract_triples(df)))
+    b = _collect(triples_only(extract_triples_hybrid(df)))
+    assert a == b
+    tool_simple, _, _ = _tool_fast_cols()
+    n_routed = df.filter(F.col("tool").isNotNull() & tool_simple).count()
+    assert n_routed >= 20, f"grammar rejects nearly everything ({n_routed})"
+
+
 def test_hybrid_tool_fast_path_fires(spark):
     """Routing must actually send JCS-safe tool turns down the JVM
     branch — a silently dead fast path would still pass parity. The

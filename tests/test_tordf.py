@@ -70,6 +70,39 @@ def test_json_literal_jcs():
             '^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .') in out
 
 
+def test_jcs_empty_and_astral_keys_sort():
+    """Found by the r6 tool-payload fuzz: _sort_key returned a bare []
+    for the empty key (an `x and y` leftover), so a multi-key object
+    containing "" raised TypeError inside sorted(). Reference
+    (Object.keys().sort()) sorts "" first; astral keys sort by UTF-16
+    code units (surrogates), not code points."""
+    assert canonicalize({"a": 1, "": 2}) == '{"":2,"a":1}'
+    # UTF-16 order: U+1D400 encodes as surrogates (0xD835 0xDC00) and
+    # sorts BEFORE U+FF21 (0xFF21), the reverse of code-point order —
+    # the exact divergence _sort_key exists to reproduce
+    assert canonicalize({"Ａ": 2, "\U0001d400": 1}) == \
+        '{"\U0001d400":1,"Ａ":2}'
+
+
+def test_jcs_nan_degrades_to_document_error():
+    """Python's json.loads accepts NaN/Infinity (JSON.parse does not),
+    so an rdf:JSON literal holding one is reachable from text here and
+    unreachable in the reference — the kernel throws like the
+    reference's canonicalize would, and the extraction boundary must
+    turn that into a per-document error row, never a task death."""
+    import pytest
+
+    from jsonld_js_spark.operators.pipeline import turn_to_quads
+
+    with pytest.raises(ValueError):
+        canonicalize({"a": float("nan")})
+    doc = ('{"@context": {"j": {"@id": "http://example.org/j", '
+           '"@type": "@json"}}, "@id": "http://example.org/s", "j": NaN}')
+    quads, events = turn_to_quads("c", 0, "user", doc, None, None)
+    assert quads == []
+    assert [e["code"] for e in events] == ["invalid JSON literal"]
+
+
 def test_jcs_forms():
     assert canonicalize({"b": [1, True, None], "a": "ö"}) == '{"a":"ö","b":[1,true,null]}'
     assert canonicalize(1.5) == "1.5"
