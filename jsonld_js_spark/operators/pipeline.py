@@ -53,6 +53,17 @@ def _doc_salt(conv_id: str, turn_idx: int) -> str:
     return f"{hashlib.sha256(conv_id.encode()).hexdigest()}-{turn_idx}"
 
 
+def _reject_json_constant(tok: str):
+    """JSON.parse strictness for document/tool text: Python's
+    json.loads accepts NaN/Infinity/-Infinity, the reference's
+    JSON.parse (and the JVM routing probe's Jackson) do not. Texts
+    carrying those tokens must not parse as documents here either —
+    they fall back to the envelope / toolRaw exactly like any other
+    invalid JSON, keeping the kernel path, the hybrid JVM routing, and
+    the reference in three-way agreement (probe: tests/test_hybrid.py)."""
+    raise ValueError(f"non-standard JSON token {tok!r}")
+
+
 def looks_like_jsonld(text: str) -> bool:
     if not text:
         return False
@@ -84,7 +95,7 @@ def envelope_doc(conv_id: str, turn_idx: int, role: str, text: str,
         del doc["role"]
     if tool:
         try:
-            payload = json.loads(tool)
+            payload = json.loads(tool, parse_constant=_reject_json_constant)
             name = payload.get("name", "unknown")
             doc["invokes"] = f"https://example.org/tool/{name}"
             if "args" in payload:
@@ -105,7 +116,7 @@ def turn_to_quads(conv_id: str, turn_idx: int, role: str, text: str,
 
     if mode in ("auto", "docs-only") and looks_like_jsonld(text):
         try:
-            doc = json.loads(text)
+            doc = json.loads(text, parse_constant=_reject_json_constant)
         except ValueError:
             doc = None
         except RecursionError:

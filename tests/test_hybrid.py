@@ -35,6 +35,15 @@ def test_hybrid_matches_kernel_on_hostile_rows(spark):
         ("c", 3, "tool", "r", '{"name":"x","args":{"q":1}}', ts),
         ("c", 4, None, "plain", None, None),
         ("c", 5, "user", "", None, ts),
+        # NaN/Infinity tokens: Python json.loads accepts them, the
+        # reference's JSON.parse and the JVM Jackson probe do not —
+        # both paths must agree these are NOT documents (r6 fix:
+        # parse_constant strictness in turn_to_quads)
+        ("c", 6, "user", '{"@id": "http://example.org/s", "a": NaN}',
+         None, ts),
+        ("c", 7, "user", '{"@id": "http://example.org/s", "a": Infinity}',
+         None, ts),
+        ("c", 8, "tool", "r", '{"args": {"q": NaN}, "name": "x"}', ts),
     ]
     df = spark.createDataFrame(
         rows, "conv_id string, turn_idx int, role string, text string, "

@@ -84,23 +84,31 @@ def test_jcs_empty_and_astral_keys_sort():
         '{"\U0001d400":1,"Ａ":2}'
 
 
-def test_jcs_nan_degrades_to_document_error():
-    """Python's json.loads accepts NaN/Infinity (JSON.parse does not),
-    so an rdf:JSON literal holding one is reachable from text here and
-    unreachable in the reference — the kernel throws like the
-    reference's canonicalize would, and the extraction boundary must
-    turn that into a per-document error row, never a task death."""
+def test_jcs_nan_rejected_and_nan_text_degrades_to_envelope():
+    """The kernel's canonicalize throws on NaN/Infinity exactly like
+    the reference's (RFC 8785), and texts carrying those tokens never
+    parse as documents at the extraction boundary (JSON.parse
+    strictness via parse_constant): they fall back to the envelope —
+    same as the reference's loader and the hybrid's Jackson probe —
+    instead of poisoning the rdf:JSON serializer mid-task. The
+    ValueError catch in turn_to_quads stays as defense-in-depth for
+    programmatic (non-text) kernel inputs."""
     import pytest
 
     from jsonld_js_spark.operators.pipeline import turn_to_quads
 
     with pytest.raises(ValueError):
         canonicalize({"a": float("nan")})
+    with pytest.raises(ValueError):
+        canonicalize(float("inf"))
     doc = ('{"@context": {"j": {"@id": "http://example.org/j", '
            '"@type": "@json"}}, "@id": "http://example.org/s", "j": NaN}')
     quads, events = turn_to_quads("c", 0, "user", doc, None, None)
-    assert quads == []
-    assert [e["code"] for e in events] == ["invalid JSON literal"]
+    assert events == []
+    # envelope triples, not the embedded doc's
+    preds = {q["predicate"]["value"] for q in quads}
+    assert "http://example.org/j" not in preds
+    assert "https://example.org/vocab#text" in preds
 
 
 def test_jcs_forms():
