@@ -48,7 +48,14 @@ def _fmt_number(v) -> str:
     if isinstance(v, int) and not isinstance(v, bool):
         if abs(v) < (1 << 53):
             return str(v)
-        v = float(v)
+        try:
+            v = float(v)
+        except OverflowError:
+            # JS Number conversion of an over-range integer is
+            # ±Infinity, which the next line refuses exactly like the
+            # reference's canonicalize does (verified live) — it must
+            # not surface as a bare OverflowError. (r6 fuzz find)
+            raise ValueError("NaN/Infinity not allowed in JCS") from None
     if math.isnan(v) or math.isinf(v):
         raise ValueError("NaN/Infinity not allowed in JCS")
     if v == 0:

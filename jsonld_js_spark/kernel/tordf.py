@@ -27,13 +27,31 @@ from .types import is_list, is_value
 _DOUBLE_CANON_RE = re.compile(r"(\d)0*e\+?")
 
 
+def _float64(v) -> float:
+    """JS ``Number(v)`` for values already classified numeric: Python's
+    float() RAISES OverflowError on an int beyond float64 range where
+    JS Number conversion yields ±Infinity — a 400-digit integer in a
+    parsed document must serialize as "Infinity"^^xsd:double like the
+    reference (verified live), not kill the task. (r6 fuzz find)"""
+    try:
+        return float(v)
+    except OverflowError:
+        return math.inf if v > 0 else -math.inf
+
+
 def double_canonical(v: float) -> str:
     r"""Canonical xsd:double lexical form, matching JS
-    ``toExponential(15).replace(/(\d)0*e\+?/, '$1E')``."""
+    ``toExponential(15).replace(/(\d)0*e\+?/, '$1E')``.
+
+    Non-finite doubles: ``toExponential`` falls back to
+    ``Number::toString`` — "Infinity"/"-Infinity"/"NaN", NOT the XSD
+    canonical "INF" forms (verified against the live reference;
+    reachable from text via JSON.parse-legal ``1e999``). (r6 fuzz find)
+    """
     if math.isnan(v):
         return "NaN"
     if math.isinf(v):
-        return "INF" if v > 0 else "-INF"
+        return "Infinity" if v > 0 else "-Infinity"
     if v == 0:
         return "0.0E0"  # JS stringifies -0 unsigned
     mant, exp = f"{v:.15e}".split("e")
@@ -207,7 +225,7 @@ def _object_to_rdf(dataset, item, issuer, graph_term, options) -> dict | None:
             obj["value"] = "true" if value else "false"
             obj["datatype"]["value"] = datatype or C.XSD_BOOLEAN
         elif _is_double_value(value) or datatype == C.XSD_DOUBLE:
-            obj["value"] = double_canonical(float(value))
+            obj["value"] = double_canonical(_float64(value))
             obj["datatype"]["value"] = datatype or C.XSD_DOUBLE
         elif isinstance(value, (int, float)) and not isinstance(value, bool):
             # the reference's numbers arrive through JSON.parse as

@@ -70,6 +70,61 @@ def test_json_literal_jcs():
             '^^<http://www.w3.org/1999/02/22-rdf-syntax-ns#JSON> .') in out
 
 
+def test_nonfinite_and_overrange_numbers_match_reference():
+    """r6 fuzz finds, each verified against the LIVE reference:
+    toExponential falls back to Number::toString for non-finite
+    doubles ("Infinity", not XSD-canonical "INF"); an integer beyond
+    float64 range is Number-converted to Infinity (Python float()
+    raises OverflowError instead — previously a task-killing crash);
+    and the same over-range integer inside an @json value makes
+    canonicalize throw 'NaN/Infinity not allowed' like the
+    reference's, surfacing as ValueError, never OverflowError."""
+    assert double_canonical(float("inf")) == "Infinity"
+    assert double_canonical(float("-inf")) == "-Infinity"
+    assert double_canonical(float("nan")) == "NaN"
+
+    big = int("9" * 400)
+    out = nq({"@id": EX + "s", EX + "p": {"@value": big}})
+    assert f'<{EX}s> <{EX}p> "Infinity"^^<{XSD}double> .' in out
+    out = nq({"@id": EX + "s", EX + "p": {"@value": -big}})
+    assert f'<{EX}s> <{EX}p> "-Infinity"^^<{XSD}double> .' in out
+    out = nq({"@id": EX + "s",
+              EX + "p": {"@value": float("inf"), "@type": XSD + "double"}})
+    assert f'<{EX}s> <{EX}p> "Infinity"^^<{XSD}double> .' in out
+
+    with pytest.raises(ValueError, match="NaN/Infinity"):
+        canonicalize(big)
+    with pytest.raises(ValueError, match="NaN/Infinity"):
+        canonicalize({"a": big})
+
+
+def test_huge_numbers_from_text_degrade_like_reference():
+    """End-to-end through the extraction boundary: JSON.parse-legal
+    over-range numbers (1e999, a 400-digit integer) serialize as
+    Infinity doubles exactly like the reference; an @json value
+    holding one degrades to a per-document error row (the reference
+    throws — our resilience contract converts that to an event)."""
+    from jsonld_js_spark.operators.pipeline import turn_to_quads
+
+    def vals(text):
+        quads, events = turn_to_quads("c", 0, "user", text, None, None)
+        got = [(q["object"]["value"], q["object"].get("datatype", {}).get("value"))
+               for q in quads if q["predicate"]["value"] == "http://x#a"]
+        return got, [e["code"] for e in events]
+
+    ctx = '{"@context": {"@vocab": "http://x#"}, '
+    assert vals(ctx + '"a": 1e999}') == (
+        [("Infinity", XSD + "double")], [])
+    assert vals(ctx + '"a": -1e999}') == (
+        [("-Infinity", XSD + "double")], [])
+    assert vals(ctx + '"a": ' + "9" * 400 + "}") == (
+        [("Infinity", XSD + "double")], [])
+    jdoc = ('{"@context": {"a": {"@id": "http://x#a", "@type": "@json"}}, '
+            '"@id": "http://x#s", "a": ' + "9" * 400 + "}")
+    got, codes = vals(jdoc)
+    assert got == [] and codes == ["invalid JSON literal"]
+
+
 def test_jcs_empty_and_astral_keys_sort():
     """Found by the r6 tool-payload fuzz: _sort_key returned a bare []
     for the empty key (an `x and y` leftover), so a multi-key object
