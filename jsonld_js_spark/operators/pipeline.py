@@ -64,6 +64,11 @@ def _reject_json_constant(tok: str):
     raise ValueError(f"non-standard JSON token {tok!r}")
 
 
+# module-level: json.loads() with a parse hook constructs a fresh
+# JSONDecoder per call; this is the per-turn hot path
+_STRICT_JSON = json.JSONDecoder(parse_constant=_reject_json_constant)
+
+
 def looks_like_jsonld(text: str) -> bool:
     if not text:
         return False
@@ -95,7 +100,7 @@ def envelope_doc(conv_id: str, turn_idx: int, role: str, text: str,
         del doc["role"]
     if tool:
         try:
-            payload = json.loads(tool, parse_constant=_reject_json_constant)
+            payload = _STRICT_JSON.decode(tool)
             name = payload.get("name", "unknown")
             doc["invokes"] = f"https://example.org/tool/{name}"
             if "args" in payload:
@@ -116,7 +121,7 @@ def turn_to_quads(conv_id: str, turn_idx: int, role: str, text: str,
 
     if mode in ("auto", "docs-only") and looks_like_jsonld(text):
         try:
-            doc = json.loads(text, parse_constant=_reject_json_constant)
+            doc = _STRICT_JSON.decode(text)
         except ValueError:
             doc = None
         except RecursionError:

@@ -96,6 +96,27 @@ def test_hybrid_matches_kernel_on_tool_payload_battery(spark):
     assert a == b
 
 
+def test_hybrid_matches_kernel_across_nesting_depth_band(spark):
+    """The two routing parsers have different depth ceilings (Jackson
+    rejects nesting > 1000; Python's scanner fails near the recursion
+    limit, ~994 measured). Parity must hold at EVERY depth: when only
+    Jackson parses, the row still routes to the kernel whose re-parse
+    fails to the envelope; when neither parses, both sides take the
+    envelope. Probed across the band — this pins it."""
+    def deep_doc(n):
+        return '{"@id": "http://x#s", "a": ' + "[" * n + "1" + "]" * n + "}"
+
+    depths = [200, 900, 990, 995, 1000, 1100, 2000]
+    rows = [("c", i, "user", deep_doc(n), None, None)
+            for i, n in enumerate(depths)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    a = sorted(map(tuple, extract_triples(df).collect()))
+    b = sorted(map(tuple, extract_triples_hybrid(df).collect()))
+    assert a == b
+
+
 def test_hybrid_matches_kernel_on_tool_payload_fuzz(spark):
     """Deterministic fuzz over the tool-payload grammar BOUNDARY:
     random flat/nested/typed payloads in random serialization styles,
