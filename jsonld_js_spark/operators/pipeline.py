@@ -68,6 +68,53 @@ def _reject_json_constant(tok: str):
 # JSONDecoder per call; this is the per-turn hot path
 _STRICT_JSON = json.JSONDecoder(parse_constant=_reject_json_constant)
 
+# Jackson's StreamReadConstraints in this Spark build (probed through
+# get_json_object, boundaries pinned by tests/test_hybrid.py): a JSON
+# number may carry at most 1000 digits (sign/dot/'e' excluded, integer
+# + fraction + exponent digits all counted), an object member name at
+# most 50,000 chars, a string value at most ~20,000,000 chars. Python's
+# parser has none of these limits, so a text over a limit would parse
+# as a document on the kernel path while the hybrid's JVM probe routes
+# it to the envelope — the same asymmetry class as the NaN tokens
+# above. The BIG decoder mirrors the number and name limits exactly
+# (and string values in object members); the one remaining gap — a
+# >20M-char string as an ARRAY element — needs a >20 MB text cell and
+# is documented rather than mirrored (stock json has no array hook).
+_JK_MAX_NUM_DIGITS = 1000
+_JK_MAX_NAME = 50_000
+_JK_MAX_STRING = 20_000_000
+
+
+def _jk_num(ctor):
+    def convert(s: str):
+        if len(s) > _JK_MAX_NUM_DIGITS and \
+                sum(c.isdigit() for c in s) > _JK_MAX_NUM_DIGITS:
+            raise ValueError("JSON number exceeds the probe's digit limit")
+        return ctor(s)
+    return convert
+
+
+def _jk_pairs(pairs):
+    for k, v in pairs:
+        if len(k) > _JK_MAX_NAME:
+            raise ValueError("JSON member name exceeds the probe's limit")
+        if isinstance(v, str) and len(v) > _JK_MAX_STRING:
+            raise ValueError("JSON string exceeds the probe's limit")
+    return dict(pairs)
+
+
+_STRICT_JSON_BIG = json.JSONDecoder(
+    parse_constant=_reject_json_constant,
+    parse_int=_jk_num(int), parse_float=_jk_num(float),
+    object_pairs_hook=_jk_pairs)
+
+
+def _parse_doc_text(text: str):
+    """Strict-JSON parse of document/tool text with Jackson-equivalent
+    limits. A text of <= 1000 chars cannot violate any mirrored limit,
+    so the common case keeps the stock C-speed number/object paths."""
+    return (_STRICT_JSON_BIG if len(text) > 1000 else _STRICT_JSON).decode(text)
+
 
 def looks_like_jsonld(text: str) -> bool:
     if not text:
@@ -100,7 +147,7 @@ def envelope_doc(conv_id: str, turn_idx: int, role: str, text: str,
         del doc["role"]
     if tool:
         try:
-            payload = _STRICT_JSON.decode(tool)
+            payload = _parse_doc_text(tool)
             name = payload.get("name", "unknown")
             doc["invokes"] = f"https://example.org/tool/{name}"
             if "args" in payload:
@@ -121,7 +168,7 @@ def turn_to_quads(conv_id: str, turn_idx: int, role: str, text: str,
 
     if mode in ("auto", "docs-only") and looks_like_jsonld(text):
         try:
-            doc = _STRICT_JSON.decode(text)
+            doc = _parse_doc_text(text)
         except ValueError:
             doc = None
         except RecursionError:

@@ -117,6 +117,48 @@ def test_hybrid_matches_kernel_across_nesting_depth_band(spark):
     assert a == b
 
 
+def test_hybrid_matches_kernel_at_jackson_size_limits(spark):
+    """Jackson's StreamReadConstraints (numbers <= 1000 digits, member
+    names <= 50,000 chars — boundaries probed through get_json_object
+    on this Spark build) are mirrored by the kernel-side BIG decoder,
+    so texts on either side of each boundary take the same path on
+    both routes. Each boundary is tested one-below/one-above."""
+    ctx = '{"@context": {"@vocab": "http://x#"}, "@id": "http://x#s", '
+    texts = [
+        ctx + '"a": ' + "9" * 1000 + "}",     # parses both -> Infinity
+        ctx + '"a": ' + "9" * 1001 + "}",     # envelope both
+        ctx + '"a": 0.' + "9" * 1000 + "}",   # digits 1001 -> envelope
+        ctx + '"a": -' + "9" * 1000 + ".5e5}",  # 1005 digits -> envelope
+        ctx + '"' + "k" * 50_000 + '": 1}',   # parses both
+        ctx + '"' + "k" * 50_001 + '": 1}',   # envelope both
+    ]
+    rows = [("c", i, "user", t, None, None) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    a = sorted(map(tuple, extract_triples(df).collect()))
+    b = sorted(map(tuple, extract_triples_hybrid(df).collect()))
+    assert a == b
+    # and the limits must not fire below the boundary: the 1000-digit
+    # doc must actually have parsed as a DOC (Infinity double triple)
+    assert any(r[5] == "http://x#a" and r[7] == "Infinity" for r in a)
+
+
+def test_big_decoder_mirrors_jackson_string_limit():
+    """Decoder-level: object-member string values past Jackson's
+    ~20M-char cap are refused by the BIG decoder (array elements are
+    the documented remaining gap — they need a >20 MB text cell)."""
+    import pytest
+
+    from jsonld_js_spark.operators.pipeline import (
+        _JK_MAX_STRING, _STRICT_JSON_BIG)
+
+    ok = '{"a": "' + "x" * 1000 + '"}'
+    assert _STRICT_JSON_BIG.decode(ok)["a"] == "x" * 1000
+    with pytest.raises(ValueError):
+        _STRICT_JSON_BIG.decode('{"a": "' + "x" * (_JK_MAX_STRING + 1) + '"}')
+
+
 def test_hybrid_matches_kernel_on_tool_payload_fuzz(spark):
     """Deterministic fuzz over the tool-payload grammar BOUNDARY:
     random flat/nested/typed payloads in random serialization styles,
